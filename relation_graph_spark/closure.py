@@ -1,0 +1,107 @@
+"""Semi-naive transitive closure over DataFrames.
+
+This is the Spark-first re-creation of what the reference delegates to the
+Whelk EL saturation (reference RelationGraph.scala:57) restricted to the
+hierarchy fragment: the least fixpoint of ``tc(x,z) <- tc(x,y), edge(y,z)``
+(SURVEY.md section 7.0, R1/R2). The reference holds the closure as in-memory
+hash maps (``closureSubsBySuperclass``, RelationGraph.scala:163); we hold it
+as a distributed DataFrame and iterate the classic semi-naive delta:
+
+    delta_0  = edges
+    delta_i  = project(delta_{i-1} join edges) anti-join closure
+    closure  = union of all deltas
+
+Properties that matter at 100 TB:
+- the per-iteration join shuffles on the single int join key; the small side
+  (the base edge relation, i.e. the told hierarchy) is broadcast when under
+  a threshold — ontology hierarchies are tiny relative to the edge stream;
+- ``localCheckpoint`` after every iteration truncates lineage, otherwise the
+  logical plan grows linearly with iterations and Catalyst analysis time
+  explodes (well-known iterative-Spark pitfall, SURVEY.md section 4.1);
+- iteration count = graph diameter (right-linear recursion), with an
+  optional doubling mode (closure o closure) for long chains: O(log d)
+  iterations at the cost of heavier joins.
+- cycles (e.g. from named-class equivalences) terminate naturally: the
+  anti-join makes every delta strictly new.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+class FixpointDidNotConverge(RuntimeError):
+    pass
+
+
+def _maybe_broadcast(df: DataFrame, threshold: int) -> DataFrame:
+    """Broadcast `df` if its row count is below threshold (count is cached)."""
+    if threshold <= 0:
+        return df
+    if df.count() <= threshold:
+        return F.broadcast(df)
+    return df
+
+
+def transitive_closure(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_iterations: int = 200,
+    broadcast_row_threshold: int = 5_000_000,
+    doubling: bool = False,
+) -> DataFrame:
+    """Non-reflexive transitive closure of an edge DataFrame.
+
+    `edges` has two columns named by `child`/`parent`; returns a DataFrame
+    with the same two columns containing every pair (x, z) such that a
+    directed path x -> ... -> z exists. Result is deduplicated.
+    """
+    base = edges.select(F.col(child), F.col(parent)).dropDuplicates().localCheckpoint()
+    join_side = _maybe_broadcast(base, broadcast_row_threshold)
+
+    closure = base
+    delta = base
+    for _ in range(max_iterations):
+        if doubling:
+            # (x,y) in closure, (y,z) in closure -> path doubling
+            grown = closure.alias("d").join(
+                closure.alias("e"), F.col(f"d.{parent}") == F.col(f"e.{child}")
+            )
+        else:
+            grown = delta.alias("d").join(
+                join_side.alias("e"), F.col(f"d.{parent}") == F.col(f"e.{child}")
+            )
+        new_pairs = grown.select(
+            F.col(f"d.{child}").alias(child), F.col(f"e.{parent}").alias(parent)
+        ).dropDuplicates()
+        delta = new_pairs.join(
+            closure, on=[child, parent], how="left_anti"
+        ).localCheckpoint()
+        if delta.isEmpty():
+            return closure
+        closure = closure.unionByName(delta).localCheckpoint()
+    raise FixpointDidNotConverge(
+        f"transitive_closure did not converge in {max_iterations} iterations"
+    )
+
+
+def reflexive(nodes: DataFrame, node_col: str, child: str, parent: str) -> DataFrame:
+    """(x, x) pairs for every node — the reflexive part of a closure."""
+    return nodes.select(
+        F.col(node_col).alias(child), F.col(node_col).alias(parent)
+    ).dropDuplicates()
+
+
+def reflexive_transitive_closure(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str,
+    child: str = "child",
+    parent: str = "parent",
+    **kwargs,
+) -> DataFrame:
+    """tc(edges) union {(x,x) : x in nodes}."""
+    tc = transitive_closure(edges, child=child, parent=parent, **kwargs)
+    return tc.unionByName(reflexive(nodes, node_col, child, parent)).dropDuplicates()

@@ -1,0 +1,282 @@
+"""Batch materialization of OWL existential relations — the engine core.
+
+Re-creates, Spark-first, what the reference computes via Whelk saturation +
+queue traversal (reference RelationGraph.scala:54-135, 159-170): the least
+fixpoint of (SURVEY.md section 7.0)
+
+    R1  sc+(x,z)   <- sc+(x,y), sc(y,z)          class-hierarchy closure
+    R2  sp+(p,r)   <- sp+(p,q), sp(q,r)          property closure (reflexive)
+    R3  rel(x,p,o) <- sc*(x,s), some(s,q,f), sp*(q,p), sc*(f,o)
+    R4  sc(x,f)    <- rel(x,p,y), def_some(f,p,y)   equivalence feedback
+
+over the told tables produced by decode.told_tables. R4 feeds back into
+R1/R3, so the outer loop is itself a (small) fixpoint: each round recomputes
+the class closure with the newly derived subclass facts until no new fact
+appears. The golden `E subClassOf F` entailment of the reference's
+materialize_test.ofn requires exactly one feedback round
+(TestRelationGraph.scala:41-46).
+
+Physical shape (the 100-TB story):
+- `some` (told existentials) is the fact table: it scales with the input
+  stream. `sc_star`/`sp_star` (hierarchy closures) scale with the ontology
+  vocabulary and are broadcast below a threshold — this makes R3 a chain of
+  broadcast hash joins over one pass of the fact table, no fact-table
+  shuffle at all. Above the threshold Catalyst/AQE picks shuffled joins and
+  splits skewed partitions (hub classes with huge fan-in).
+- every loop iteration localCheckpoints its delta (lineage truncation).
+- the property-hierarchy closure is computed once outside the loop — R4 only
+  ever adds *class* subsumptions (mirrors the reference's separate tiny
+  property saturation, RelationGraph.scala:184-200).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from relation_graph_spark import tokens as T
+from relation_graph_spark.closure import (
+    FixpointDidNotConverge,
+    reflexive,
+    transitive_closure,
+)
+from relation_graph_spark.config import OutputMode, RGConfig
+from relation_graph_spark.decode import decode_axioms, told_tables
+
+
+def _bcast_if_small(df: DataFrame, threshold: int) -> DataFrame:
+    if threshold > 0 and df.count() <= threshold:
+        return F.broadcast(df)
+    return df
+
+
+def _sc_star(sc: DataFrame, classes: DataFrame, cfg: RGConfig) -> DataFrame:
+    """Reflexive-transitive class closure, plus implicit (c, TOP) pairs."""
+    tc = transitive_closure(
+        sc,
+        child="sub",
+        parent="sup",
+        max_iterations=cfg.max_iterations,
+        broadcast_row_threshold=cfg.broadcast_row_threshold,
+    )
+    refl = reflexive(classes, "c", "sub", "sup")
+    top = classes.select(
+        F.col("c").alias("sub"), F.lit(T.TOP).cast("int").alias("sup")
+    )
+    return tc.unionByName(refl).unionByName(top).dropDuplicates().localCheckpoint()
+
+
+def derive_relations(
+    sc_star: DataFrame,
+    some: DataFrame,
+    sp_star: DataFrame,
+    broadcast_row_threshold: int,
+) -> DataFrame:
+    """R3: one declarative join chain; Catalyst plans the physical strategy.
+
+    This is the whole-relation equivalent of the reference's per-restriction
+    existential query (RelationGraph.scala:159-170, "a faster way"): where the
+    reference probes hash maps once per (property, filler) work item, we
+    compute every (x, p, o) in one distributed pass over `some`.
+    """
+    sub_side = _bcast_if_small(sc_star, broadcast_row_threshold)
+    prop_side = _bcast_if_small(sp_star, broadcast_row_threshold)
+
+    return (
+        some.alias("t")
+        # x is any subclass (refl.) of the told subject
+        .join(sub_side.alias("xs"), F.col("t.s") == F.col("xs.sup"))
+        # p is any superproperty (refl.) of the told property
+        .join(prop_side.alias("pq"), F.col("t.p") == F.col("pq.sub"))
+        # o is any superclass (refl.) of the told filler
+        .join(sub_side.alias("fo"), F.col("t.f") == F.col("fo.sub"))
+        .select(
+            F.col("xs.sub").alias("s"),
+            F.col("pq.sup").alias("p"),
+            F.col("fo.sup").alias("o"),
+        )
+        .dropDuplicates()
+    )
+
+
+def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, DataFrame]:
+    """Run the R1-R4 fixpoint; return {'rel','sc_closure','sc_star','unsat',
+    'classes','assertions'} frames (pre-output-config, already TOP/BOT-free
+    where noted)."""
+    classes = told["classes"].localCheckpoint()
+    props = told["props"]
+
+    # R2 once: property closure is independent of the class feedback loop.
+    sp_star = (
+        transitive_closure(
+            told["sp"],
+            child="sub",
+            parent="sup",
+            max_iterations=cfg.max_iterations,
+            broadcast_row_threshold=cfg.broadcast_row_threshold,
+        )
+        .unionByName(reflexive(props, "p", "sub", "sup"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+
+    some = told["some"].dropDuplicates().localCheckpoint()
+    def_some = told["def_some"].dropDuplicates().localCheckpoint()
+    has_feedback = not def_some.isEmpty()
+
+    sc = told["sc"].dropDuplicates().localCheckpoint()
+    rel = None
+    sc_star = None
+    for _round in range(cfg.max_iterations):
+        sc_star = _sc_star(sc, classes, cfg)
+        rel = derive_relations(
+            sc_star, some, sp_star, cfg.broadcast_row_threshold
+        ).localCheckpoint()
+        if not has_feedback:
+            break
+        # R4: x subClassOf F whenever x satisfies F's definition (p some y).
+        new_sc = (
+            rel.alias("r")
+            .join(
+                F.broadcast(def_some).alias("d"),
+                (F.col("r.p") == F.col("d.p")) & (F.col("r.o") == F.col("d.o")),
+            )
+            .select(F.col("r.s").alias("sub"), F.col("d.f").alias("sup"))
+            .where(F.col("sub") != F.col("sup"))
+            .dropDuplicates()
+            .join(sc, on=["sub", "sup"], how="left_anti")
+            .localCheckpoint()
+        )
+        if new_sc.isEmpty():
+            break
+        sc = sc.unionByName(new_sc).localCheckpoint()
+    else:
+        raise FixpointDidNotConverge(
+            f"R4 feedback loop did not converge in {cfg.max_iterations} rounds"
+        )
+
+    # Unsatisfiable classes: anything told to be under owl:Nothing
+    # (reference RelationGraph.scala:213-215 suppresses their output).
+    if cfg.disable_owl_nothing:
+        unsat = sc_star.where(F.lit(False)).select(F.col("sub").alias("c"))
+    else:
+        unsat = sc_star.where(F.col("sup") == T.BOT).select(
+            F.col("sub").alias("c")
+        ).dropDuplicates()
+
+    sc_closure = transitive_closure(
+        sc,
+        child="sub",
+        parent="sup",
+        max_iterations=cfg.max_iterations,
+        broadcast_row_threshold=cfg.broadcast_row_threshold,
+    )
+    return {
+        "rel": rel,
+        "sc_closure": sc_closure,
+        "sc_star": sc_star,
+        "sp_star": sp_star,
+        "unsat": unsat.localCheckpoint(),
+        "classes": classes,
+        "assertions": told["assertions"],
+    }
+
+
+def _not_builtin(col: str):
+    return ~F.col(col).isin(T.TOP, T.BOT)
+
+
+def materialize(seq_df: DataFrame, cfg: RGConfig | None = None) -> DataFrame:
+    """sequences(doc_id, tokens, ...) -> materialized edges (s, p, o).
+
+    Output rows (all int32 tokens, unordered set semantics, deduplicated —
+    the reference's TriplesGroup set semantics, RelationGraph.scala:254):
+    - existential: (S, p, D) for every entailed S SubClassOf (p some D)
+    - if cfg.output_subclasses: (S, SUBCLASSOF, O) taxonomy rows and, when a
+      pair is mutually subsumed and cfg.equivalence_as_subclass is false,
+      (S, EQUIVALENTCLASS, O) rows in both directions
+    - if cfg.output_individuals: (i, p, D) for asserted individuals
+    """
+    cfg = cfg or RGConfig()
+    told = told_tables(decode_axioms(seq_df))
+    m = materialize_edges(told, cfg)
+
+    unsat = F.broadcast(m["unsat"])
+    rel = (
+        m["rel"]
+        .where(_not_builtin("s") & _not_builtin("o") & _not_builtin("p"))
+        .join(unsat, m["rel"]["s"] == unsat["c"], "left_anti")
+    )
+    if cfg.properties is not None:
+        rel = rel.where(F.col("p").isin(*[int(t) for t in cfg.properties]) if cfg.properties else F.lit(False))
+
+    out = rel if cfg.output_classes else rel.where(F.lit(False))
+
+    if cfg.output_individuals:
+        ind = (
+            m["assertions"]
+            .alias("a")
+            .join(m["rel"].alias("r"), F.col("a.c") == F.col("r.s"))
+            .select(
+                F.col("a.ind").alias("s"), F.col("r.p").alias("p"), F.col("r.o").alias("o")
+            )
+            .where(_not_builtin("o") & _not_builtin("p"))
+            .dropDuplicates()
+        )
+        if cfg.properties is not None:
+            ind = ind.where(F.col("p").isin(*[int(t) for t in cfg.properties]) if cfg.properties else F.lit(False))
+        out = out.unionByName(ind)
+
+    if cfg.output_subclasses:
+        scc = m["sc_closure"].where(
+            _not_builtin("sub") & _not_builtin("sup") & (F.col("sub") != F.col("sup"))
+        )
+        scc = scc.join(unsat, scc["sub"] == unsat["c"], "left_anti")
+        if cfg.equivalence_as_subclass:
+            sub_rows = scc.select(
+                F.col("sub").alias("s"),
+                F.lit(T.SUBCLASSOF).cast("int").alias("p"),
+                F.col("sup").alias("o"),
+            )
+            eq_rows = scc.where(F.lit(False)).select(
+                F.col("sub").alias("s"), F.lit(T.EQUIVALENTCLASS).alias("p"), F.col("sup").alias("o")
+            )
+        else:
+            mutual = scc.alias("a").join(
+                scc.alias("b"),
+                (F.col("a.sub") == F.col("b.sup")) & (F.col("a.sup") == F.col("b.sub")),
+                "left_semi",
+            )
+            sub_rows = scc.join(mutual, on=["sub", "sup"], how="left_anti").select(
+                F.col("sub").alias("s"),
+                F.lit(T.SUBCLASSOF).cast("int").alias("p"),
+                F.col("sup").alias("o"),
+            )
+            eq_rows = mutual.select(
+                F.col("sub").alias("s"),
+                F.lit(T.EQUIVALENTCLASS).cast("int").alias("p"),
+                F.col("sup").alias("o"),
+            )
+        out = out.unionByName(sub_rows).unionByName(eq_rows)
+        if cfg.reflexive_subclasses:
+            refl = (
+                m["classes"]
+                .where(_not_builtin("c"))
+                .join(
+                    unsat.withColumnRenamed("c", "_unsat_c"),
+                    F.col("c") == F.col("_unsat_c"),
+                    "left_anti",
+                )
+                .select(
+                    F.col("c").alias("s"),
+                    F.lit(T.SUBCLASSOF).cast("int").alias("p"),
+                    F.col("c").alias("o"),
+                )
+            )
+            out = out.unionByName(refl)
+
+    return out.select(
+        F.col("s").cast("int").alias("s"),
+        F.col("p").cast("int").alias("p"),
+        F.col("o").cast("int").alias("o"),
+    ).dropDuplicates()

@@ -1,0 +1,155 @@
+"""Golden tests ported from the reference test suite
+(/root/reference/core/src/test/scala/org/renci/relationgraph/TestRelationGraph.scala)
+per FIXTURES.md sections 3-6. Comparison is order-insensitive token equality —
+the reference's own discipline (set-union of stream batches,
+TestRelationGraph.scala:38).
+"""
+
+import pytest
+
+from relation_graph_spark import fixtures as FX
+from relation_graph_spark import tokens as T
+from relation_graph_spark.config import RGConfig
+from relation_graph_spark.materialize import materialize
+
+from conftest import triples
+
+# Reference test config (TestRelationGraph.scala:20-28): RDF mode,
+# outputSubclasses=true, reflexiveSubclasses=false, equivalenceAsSubclass=false.
+TEST_CFG = RGConfig(
+    output_subclasses=True,
+    reflexive_subclasses=False,
+    equivalence_as_subclass=False,
+)
+
+
+def test_materialized_relations_full_golden(spark):
+    out = triples(materialize(FX.materialize_test(spark), TEST_CFG))
+    assert out == FX.GOLDEN_A_EXISTENTIAL | FX.GOLDEN_A_SUBCLASS
+
+
+def test_negative_assertion_f_p_c_not_entailed(spark):
+    # TestRelationGraph.scala:44 — the equivalence must not leak
+    # subclass-of-filler entailments through the definition.
+    out = triples(materialize(FX.materialize_test(spark), TEST_CFG))
+    assert FX.GOLDEN_A_NEGATIVE not in out
+
+
+def test_existential_only_when_subclasses_off(spark):
+    cfg = RGConfig(output_subclasses=False)
+    out = triples(materialize(FX.materialize_test(spark), cfg))
+    assert out == FX.GOLDEN_A_EXISTENTIAL
+
+
+def test_reflexive_subclasses(spark):
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=True)
+    out = triples(materialize(FX.materialize_test(spark), cfg))
+    refl = {(c, T.SUBCLASSOF, c) for c in (11, 12, 13, 14, 15, 16)}
+    assert out == FX.GOLDEN_A_EXISTENTIAL | FX.GOLDEN_A_SUBCLASS | refl
+
+
+def test_apo_like_terminates_with_zero_properties(spark):
+    # Port of exitProperlyWhenNoObjectPropertiesAreDeclared
+    # (TestRelationGraph.scala:48-57): no object properties -> no existential
+    # edges, non-empty subclass closure, bounded wall-clock.
+    out = materialize(FX.apo_like(spark), TEST_CFG)
+    rows = triples(out)
+    assert rows, "subclass closure must be non-empty"
+    assert all(p == T.SUBCLASSOF or p == T.EQUIVALENTCLASS for _, p, _ in rows)
+
+
+def test_apo_like_matches_duckdb_recursive_oracle(spark):
+    import duckdb
+
+    rows = FX.apo_like_rows()
+    edges = [(r[1], r[2]) for r in rows if r[0] == T.AX_SUBCLASS]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(child INT, parent INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    oracle = set(
+        con.execute(
+            """
+            WITH RECURSIVE tc(child, parent) AS (
+              SELECT DISTINCT child, parent FROM e
+              UNION
+              SELECT tc.child, e.parent FROM tc JOIN e ON tc.parent = e.child
+            )
+            SELECT DISTINCT child, parent FROM tc WHERE child <> parent
+            """
+        ).fetchall()
+    )
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    got = triples(materialize(FX.apo_like(spark), cfg))
+    got_sc = {(s, o) for s, p, o in got if p == T.SUBCLASSOF}
+    got_eq = {(s, o) for s, p, o in got if p == T.EQUIVALENTCLASS}
+    # oracle pairs = subclass rows plus both directions of equivalent pairs
+    assert got_sc | got_eq == oracle
+
+
+def test_undefined_property_restriction(spark):
+    # Port of properlyHandleUndefinedRelation (TestRelationGraph.scala:58-67):
+    # restricting to {p, nonexistent} must not error; output = A's existential
+    # edges (outputSubclasses=false per the reference's config copy).
+    cfg = RGConfig(output_subclasses=False).with_properties({FX.P_, 9999})
+    out = triples(materialize(FX.materialize_test(spark), cfg))
+    assert out == FX.GOLDEN_A_EXISTENTIAL
+
+
+def test_property_hierarchy_inheritance(spark):
+    cfg = RGConfig(output_subclasses=False)
+    out = triples(materialize(FX.property_hierarchy(spark), cfg))
+    assert out == FX.GOLDEN_D
+
+
+def test_property_hierarchy_restricted_to_superproperty(spark):
+    cfg = RGConfig(output_subclasses=False).with_properties({FX.R_})
+    out = triples(materialize(FX.property_hierarchy(spark), cfg))
+    assert out == {(FX.X_, FX.R_, FX.Y_)}
+
+
+def test_named_equivalence_cycles(spark):
+    # EquivalentClasses(C1, C2) among named classes forms a 2-cycle; with
+    # equivalence_as_subclass=False they surface as EQUIVALENTCLASS rows.
+    rows = [
+        [T.AX_DECL_CLASS, 51],
+        [T.AX_DECL_CLASS, 52],
+        [T.AX_DECL_CLASS, 53],
+        [T.AX_EQUIV_NAMED, 51, 52],
+        [T.AX_SUBCLASS, 53, 51],
+    ]
+    df = FX._rows_to_df(spark, rows, "equiv_test")
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    out = triples(materialize(df, cfg))
+    assert out == {
+        (51, T.EQUIVALENTCLASS, 52),
+        (52, T.EQUIVALENTCLASS, 51),
+        (53, T.SUBCLASSOF, 51),
+        (53, T.SUBCLASSOF, 52),
+    }
+
+
+def test_unsatisfiable_class_suppressed(spark):
+    # class 61 subClassOf owl:Nothing -> emits nothing for 61 (reference
+    # RelationGraph.scala:213-215).
+    rows = [
+        [T.AX_DECL_CLASS, 61],
+        [T.AX_DECL_CLASS, 62],
+        [T.AX_DECL_PROP, 71],
+        [T.AX_SUBCLASS, 61, T.BOT],
+        [T.AX_SOME, 61, 71, 62],
+        [T.AX_SOME, 62, 71, 62],
+    ]
+    df = FX._rows_to_df(spark, rows, "unsat_test")
+    out = triples(materialize(df, RGConfig(output_subclasses=True)))
+    assert all(s != 61 for s, _, _ in out)
+    assert (62, 71, 62) in out
+
+
+def test_individuals_mode(spark):
+    rows = list(FX.MATERIALIZE_TEST_ROWS) + [[T.AX_CLASS_ASSERTION, FX.C_, 91]]
+    df = FX._rows_to_df(spark, rows, "ind_test")
+    cfg = RGConfig(output_subclasses=False, output_individuals=True)
+    out = triples(materialize(df, cfg))
+    # individual 91 : C, and C subClassOf (p some D) -> 91 p D
+    assert (91, FX.P_, FX.D_) in out
+    assert out == FX.GOLDEN_A_EXISTENTIAL | {(91, FX.P_, FX.D_)}
