@@ -35,6 +35,19 @@ class FixpointDidNotConverge(RuntimeError):
     pass
 
 
+def ensure_iteration_confs(df: DataFrame) -> None:
+    """Disable constraint propagation for iterative localCheckpoint plans.
+
+    Spark 4.1's LogicalRDD.fromDataset -> Union.rewriteConstraints throws
+    'key not found: <attr>' when checkpointing a union whose children share
+    checkpointed lineage (exactly the semi-naive shape). Constraints buy us
+    nothing here (all filters are explicit), so turn propagation off for the
+    session running the fixpoint. Runtime-settable; applied defensively in
+    case the caller's session didn't set it at build time.
+    """
+    df.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
+
+
 def _maybe_broadcast(df: DataFrame, threshold: int) -> DataFrame:
     """Broadcast `df` if its row count is below threshold (count is cached)."""
     if threshold <= 0:
@@ -58,6 +71,7 @@ def transitive_closure(
     with the same two columns containing every pair (x, z) such that a
     directed path x -> ... -> z exists. Result is deduplicated.
     """
+    ensure_iteration_confs(edges)
     base = edges.select(F.col(child), F.col(parent)).dropDuplicates().localCheckpoint()
     join_side = _maybe_broadcast(base, broadcast_row_threshold)
 

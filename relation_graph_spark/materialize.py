@@ -103,6 +103,9 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
     """Run the R1-R4 fixpoint; return {'rel','sc_closure','sc_star','unsat',
     'classes','assertions'} frames (pre-output-config, already TOP/BOT-free
     where noted)."""
+    from relation_graph_spark.closure import ensure_iteration_confs
+
+    ensure_iteration_confs(told["classes"])
     classes = told["classes"].localCheckpoint()
     props = told["props"]
 

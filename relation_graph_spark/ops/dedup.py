@@ -1,0 +1,164 @@
+"""Deduplication operators over documents(doc_id, text, ...).
+
+- exact_dedup:        hash-groupBy (one shuffle on the content hash)
+- ngram_jaccard_pairs: set-similarity self-join (bounded candidate scope)
+- minhash_signatures / lsh_candidate_pairs: MinHash + banded LSH — the scale
+  path: candidate generation is a shuffle on band buckets, never an O(n^2)
+  self-join
+- simhash:            64-bit-ish (configurable-width) simhash fingerprint
+
+Hash parity contract: every hash is md5-of-string, so the DuckDB oracle
+reproduces signatures bit-for-bit. At 100 TB, md5 on the JVM side is
+whole-stage-codegen'd; the explode for minhash is one row per (doc, token)
+— the same shape any shuffle-based shingling pipeline has — and the groupBy
+computes all K minhashes in a single aggregation pass (map-side partial
+aggregation applies).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from relation_graph_spark.ops.text import WORD_RE
+
+
+def _tokens(col):
+    return F.array_distinct(F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), 0))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group identical texts by md5; keep the smallest doc_id as canonical."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold_ppm: int = 500000, max_doc_id: int | None = None
+) -> DataFrame:
+    """Word-set Jaccard similarity pairs (doc_a < doc_b, jaccard >= t).
+
+    jaccard reported in exact ppm (|intersection|*1e6 / |union|, floored) for
+    engine-order-independent values. `max_doc_id` bounds the self-join scope
+    (the brute-force tier; LSH below is the scale tier).
+    """
+    base = docs
+    if max_doc_id is not None:
+        base = base.where(F.col("doc_id") < max_doc_id)
+    t = base.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("bigint")
+    union = (
+        F.size(F.col("a.toks")).cast("bigint")
+        + F.size(F.col("b.toks")).cast("bigint")
+        - inter
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.when(union > 0, F.floor((inter * 1000000) / union))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .where(F.col("jaccard_ppm") >= threshold_ppm)
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """K md5-derived minhashes per document, one explode + one groupBy.
+
+    h_k(doc) = min over tokens of md5('k:' || token). All K mins are computed
+    in a single aggregation (map-side combine), so the shuffle carries one
+    row per doc, not per (doc, hash).
+    """
+    exploded = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("tok")))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing any band bucket.
+
+    bands = num_hashes / band_size; bucket key = band index + concatenated
+    minhashes. Candidate generation is groupBy(bucket) — linear shuffle, the
+    100-TB near-dup path (vs the quadratic self-join above).
+    """
+    sigs = minhash_signatures(docs, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Simhash fingerprint: per token a `bits`-wide md5-derived hash; each bit
+    votes +1/-1 weighted by presence; bit set where the vote sum is positive.
+
+    Formulated as explode(token) x explode(bit) then one groupBy — the oracle
+    (DuckDB) uses the identical formulation, so fingerprints match exactly.
+    """
+    h64 = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    exploded = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", h64.alias("h"))
+        .select(
+            "doc_id",
+            "h",
+            F.explode(F.array([F.lit(b) for b in range(bits)])).alias("bit"),
+        )
+        .select(
+            "doc_id",
+            "bit",
+            # shiftright with a column shift amount needs the SQL form
+            F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("vote"),
+        )
+    )
+    return (
+        exploded.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("votes"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("votes") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), bit)"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+    )

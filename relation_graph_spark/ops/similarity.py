@@ -1,0 +1,137 @@
+"""Similarity search over embeddings(vec_id, embedding: array<float>, label).
+
+Tiers:
+- cosine_topk:    brute-force exact top-k — the correctness baseline. The
+                  query vector is broadcast (literal array), so the scan is
+                  one pass, no shuffle until the final top-k.
+- bucketed_topk:  sign-bucket (random-hyperplane-style, axis-aligned) LSH: a
+                  vector lands in bucket sign(e[0..n_bucket_dims]); search
+                  only the query's bucket — the scale path (bucket key is a
+                  partition-prunable column when the table is written
+                  bucketed/partitioned by it).
+- cosine_topk_arrow: Arrow/pandas-vectorized numpy variant (mapInPandas) for
+                  the wide-embedding hot path — batch matrix multiply, no
+                  per-row Python.
+
+Determinism: embeddings are quantized to integer milli-units; dot products
+and norms are exact integer sums; cosine = one IEEE division + sqrt at the
+end, reported in ppm. Bit-identical in Spark and DuckDB regardless of
+aggregation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+QUANT = 1000  # milli-unit quantization
+
+
+def _quantized(col: Column) -> Column:
+    # explicit float->double cast before scaling: keeps the arithmetic in
+    # float64 in BOTH engines (DuckDB oracle does the same), so quantized
+    # values match bit-for-bit.
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("bigint"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_quantized(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    return emb.withColumn("q", _quantized(F.col(col))).withColumn(
+        "q_norm2", _dot(F.col("q"), F.col("q"))
+    )
+
+
+def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Exact top-k by quantized cosine; ties broken by vec_id ascending."""
+    q = with_quantized(emb)
+    query = q.where(F.col("vec_id") == query_vec_id).select(
+        F.col("q").alias("qq"), F.col("q_norm2").alias("qq_norm2")
+    )
+    scored = (
+        q.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.floor(
+                _dot(F.col("q"), F.col("qq"))
+                * 1000000
+                / F.sqrt(F.col("q_norm2").cast("double") * F.col("qq_norm2").cast("double"))
+            )
+            .cast("bigint")
+            .alias("cosine_ppm"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cosine_ppm").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "cosine_ppm", "rank")
+    )
+
+
+def sign_bucket(col: Column, n_dims: int = 4) -> Column:
+    """Axis-sign LSH bucket id from the first n_dims components."""
+    b = F.lit(0)
+    for i in range(n_dims):
+        b = b + F.when(F.element_at(col, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def bucketed_topk(emb: DataFrame, query_vec_id: int, k: int = 10, n_dims: int = 4) -> DataFrame:
+    """ANN: search only the query's sign-bucket. At scale the bucket column is
+    a partition key, so this prunes the scan to 1/2^n_dims of the table."""
+    bucketed = emb.withColumn("bucket", sign_bucket(F.col("embedding"), n_dims))
+    qb = bucketed.where(F.col("vec_id") == query_vec_id).select(
+        F.col("bucket").alias("qbucket")
+    )
+    candidates = bucketed.join(
+        F.broadcast(qb), F.col("bucket") == F.col("qbucket"), "inner"
+    ).drop("qbucket", "bucket")
+    return cosine_topk(candidates, query_vec_id, k)
+
+
+def cosine_topk_arrow(emb: DataFrame, query: list[float], k: int = 10) -> DataFrame:
+    """Vectorized numpy brute force: per Arrow batch, one matrix-vector
+    product; per-partition top-k then global top-k. float64 path (not
+    oracle-matched — bench/scale variant)."""
+    import numpy as np
+    import pandas as pd
+
+    qv = np.asarray(query, dtype=np.float64)
+    qn = np.sqrt((qv * qv).sum())
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            cos = (m @ qv) / np.where(norms * qn == 0, 1.0, norms * qn)
+            out = pd.DataFrame({"vec_id": pdf["vec_id"], "cosine": cos})
+            yield out.nlargest(min(k, len(out)), "cosine")
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cosine", DoubleType())]
+    )
+    partial = emb.select("vec_id", "embedding").mapInPandas(score, schema)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "cosine", "rank")
+    )
