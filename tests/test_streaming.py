@@ -1,0 +1,215 @@
+"""Streaming fixtures of FIXTURES.md section 7: split-equals-batch, late
+data accounting, checkpoint resume, stateful dedup, watermarked windows."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from relation_graph_spark import fixtures as FX
+from relation_graph_spark import tokens as T
+from relation_graph_spark.config import RGConfig
+from relation_graph_spark.schema import SEQ_TS_SCHEMA
+from relation_graph_spark.streaming.pipeline import IncrementalClosureJob
+
+from conftest import triples
+
+TEST_CFG = RGConfig(
+    output_subclasses=True,
+    reflexive_subclasses=False,
+    equivalence_as_subclass=False,
+)
+
+GOLDEN_ALL = FX.GOLDEN_A_EXISTENTIAL | FX.GOLDEN_A_SUBCLASS
+
+
+def _write_batches(spark, base_dir, splits, ts_override=None):
+    """Write fixture-A rows as one parquet file per micro-batch split."""
+    df = FX.materialize_test(spark, with_ts=True)
+    rows = [r.asDict() for r in df.collect()]
+    if ts_override:
+        for r in rows:
+            if r["doc_id"] in ts_override:
+                r["ts"] = ts_override[r["doc_id"]]
+    os.makedirs(base_dir, exist_ok=True)
+    paths = []
+    for i, (lo, hi) in enumerate(splits):
+        part = [r for r in rows if lo <= int(r["doc_id"][1:]) <= hi]
+        paths.append(write_seq_file(base_dir, f"part{i}.parquet", part))
+    return paths
+
+
+def write_seq_file(base_dir, name, row_dicts):
+    """Write one plain parquet FILE (not a Spark dir) so the streaming file
+    source sees exactly one file per intended micro-batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()),
+            ("source", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    table = pa.Table.from_pylist(row_dicts, schema=schema)
+    p = os.path.join(base_dir, name)
+    pq.write_table(table, p)
+    return p
+
+
+def _sink_triples(job):
+    out = job.result_edges()
+    assert out is not None
+    return {(r.s, r.p, r.o) for r in out.select("s", "p", "o").collect()}
+
+
+def test_split_equals_batch(spark, tmp_path):
+    """Fixture A across 3 micro-batches == one-shot batch goldens."""
+    inp = str(tmp_path / "in")
+    _write_batches(spark, inp, [(1, 7), (8, 10), (11, 12)])
+    job = IncrementalClosureJob(spark, inp, str(tmp_path / "work"), TEST_CFG)
+    job.run_available(max_files_per_trigger=1)
+    assert _sink_triples(job) == GOLDEN_ALL
+    # no duplicate idempotency keys across batches
+    out = job.result_edges()
+    assert out.count() == out.select("edge_hash").distinct().count()
+    # 3 manifests with lineage/metrics
+    ms = job.metrics()
+    assert len(ms) == 3
+    assert all("told_rows_by_source" in m and "closure_edges_total" in m for m in ms)
+
+
+def test_late_rows_dropped_and_accounted(spark, tmp_path):
+    """d00000012 (the F-equivalence axiom) arrives older than the watermark
+    horizon -> dropped; closure excludes all F-derived edges; metric = 1."""
+    from datetime import datetime
+
+    inp = str(tmp_path / "in")
+    _write_batches(
+        spark,
+        inp,
+        [(1, 10), (11, 11), (12, 12)],
+        ts_override={"d00000012": datetime(2020, 1, 1)},
+    )
+    job = IncrementalClosureJob(
+        spark, inp, str(tmp_path / "work"), TEST_CFG, watermark_horizon_seconds=3600
+    )
+    job.run_available(max_files_per_trigger=1)
+    golden_no_f = {
+        t for t in GOLDEN_ALL if t[0] != FX.F_ and t != (FX.E_, T.SUBCLASSOF, FX.F_)
+    }
+    assert _sink_triples(job) == golden_no_f
+    assert sum(m.get("n_late_dropped", 0) for m in job.metrics()) == 1
+
+
+def test_resume_from_checkpoint(spark, tmp_path):
+    """Kill after 2 of 3 batches; restart; final sink == goldens, no dup
+    hashes, previously committed batches not re-emitted."""
+    inp = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    paths = _write_batches(spark, inp, [(1, 7), (8, 10)])
+    job = IncrementalClosureJob(spark, inp, work, TEST_CFG)
+    job.run_available(max_files_per_trigger=1)
+    n_batches_before = len(job.metrics())
+    assert n_batches_before == 2
+
+    # deliver batch 3, restart from the same checkpoint + manifest
+    _df = FX.materialize_test(spark, with_ts=True)
+    part = [r.asDict() for r in _df.collect() if 11 <= int(r.doc_id[1:]) <= 12]
+    write_seq_file(inp, "part_late.parquet", part)
+    job2 = IncrementalClosureJob(spark, inp, work, TEST_CFG)
+    job2.run_available(max_files_per_trigger=1)
+    assert _sink_triples(job2) == GOLDEN_ALL
+    out = job2.result_edges()
+    assert out.count() == out.select("edge_hash").distinct().count()
+    assert len(job2.metrics()) == n_batches_before + 1
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    """Manually re-invoking process_batch with a committed batch_id is a
+    no-op (exactly-once under replay)."""
+    inp = str(tmp_path / "in")
+    _write_batches(spark, inp, [(1, 12)])
+    job = IncrementalClosureJob(spark, inp, str(tmp_path / "work"), TEST_CFG)
+    job.run_available(max_files_per_trigger=None)
+    before = _sink_triples(job)
+    batch_df = spark.read.schema(SEQ_TS_SCHEMA).parquet(inp)
+    job.process_batch(batch_df, 0)  # replay
+    assert _sink_triples(job) == before == GOLDEN_ALL
+    assert len(job.metrics()) == 1
+
+
+def test_stateful_dedup_operator(spark, tmp_path):
+    """applyInPandasWithState seen-edge store: duplicates across micro-batches
+    are emitted exactly once."""
+    from relation_graph_spark.streaming.dedup_state import dedup_edges_stateful
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    # two batches with overlapping hashes
+    pq.write_table(
+        pa.table({"edge_hash": ["h1", "h2", "h1"]}), os.path.join(inp, "b0.parquet")
+    )
+    pq.write_table(
+        pa.table({"edge_hash": ["h2", "h3"]}), os.path.join(inp, "b1.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema("edge_hash string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    deduped = dedup_edges_stateful(stream, n_buckets=4)
+    out_dir = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r.edge_hash for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(got) == ["h1", "h2", "h3"]
+
+
+def test_watermarked_window_aggregation(spark, tmp_path):
+    """Native Spark watermark + tumbling window on a stream of sequences:
+    append-mode emission after watermark passes."""
+    inp = str(tmp_path / "in")
+    _write_batches(spark, inp, [(1, 11), (12, 12)])
+    stream = (
+        spark.readStream.schema(SEQ_TS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "5 seconds").alias("w"), "source")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "source", "n")
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # rows at 1s spacing, ts 0..11 -> window [0,5) holds docs 1-5 and is
+    # final once the watermark (max_ts - 2s) passes 5s; later windows may be
+    # held back in append mode.
+    rows = spark.read.parquet(out_dir).collect()
+    got = {(r.win_start.second, r.n) for r in rows}
+    assert (0, 5) in got
