@@ -374,6 +374,42 @@ def q_rg_materialize_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(FX.materialize_test(spark), cfg)
 
 
+def q_rg_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pipeline end-to-end: fixture A over 3 micro-batches through
+    the exactly-once sink; returns the final edge set (equals the one-shot
+    batch goldens — asserted in tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from relation_graph_spark import fixtures as FX
+    from relation_graph_spark.config import RGConfig
+    from relation_graph_spark.streaming.pipeline import IncrementalClosureJob
+
+    work = tempfile.mkdtemp(prefix="rgs_stream_")
+    inp = os.path.join(work, "in")
+    os.makedirs(inp)
+    rows = [r.asDict() for r in FX.materialize_test(spark, with_ts=True).collect()]
+    schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()),
+            ("source", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    for i, (lo, hi) in enumerate([(1, 7), (8, 10), (11, 12)]):
+        part = [r for r in rows if lo <= int(r["doc_id"][1:]) <= hi]
+        pq.write_table(pa.Table.from_pylist(part, schema=schema), f"{inp}/p{i}.parquet")
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    job = IncrementalClosureJob(spark, inp, os.path.join(work, "w"), cfg)
+    job.run_available(max_files_per_trigger=1)
+    return job.result_edges().select("s", "p", "o")
+
+
 def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary-ish payload -> Arrow-batched feature UDF
     (deterministic stand-in decoder)."""
@@ -417,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
         "mm_decode_features": q_mm_decode_features,
+        "rg_incremental_stream": q_rg_incremental_stream,
     }
 
 

@@ -63,38 +63,55 @@ def transitive_closure(
     parent: str = "parent",
     max_iterations: int = 200,
     broadcast_row_threshold: int = 5_000_000,
-    doubling: bool = False,
+    mode: str = "smart",
 ) -> DataFrame:
     """Non-reflexive transitive closure of an edge DataFrame.
 
     `edges` has two columns named by `child`/`parent`; returns a DataFrame
     with the same two columns containing every pair (x, z) such that a
     directed path x -> ... -> z exists. Result is deduplicated.
+
+    mode='smart' (default): each round composes the delta with the FULL
+    accumulated closure, so reachable path length doubles per round —
+    O(log diameter) rounds. Right for Spark, where per-round fixed cost
+    (shuffle + checkpoint + scheduling) dominates: a depth-40 chain closes
+    in ~6 rounds instead of 40.
+    mode='linear': classic right-linear semi-naive (delta composed with the
+    base edges) — fewer duplicate derivations per round; preferable when the
+    closure dwarfs memory and rounds are cheap relative to join width.
     """
     ensure_iteration_confs(edges)
     base = edges.select(F.col(child), F.col(parent)).dropDuplicates().localCheckpoint()
-    join_side = _maybe_broadcast(base, broadcast_row_threshold)
+    linear_side = (
+        _maybe_broadcast(base, broadcast_row_threshold) if mode == "linear" else None
+    )
 
     closure = base
     delta = base
+    total_rows = base.count() if mode == "smart" else None
     for _ in range(max_iterations):
-        if doubling:
-            # (x,y) in closure, (y,z) in closure -> path doubling
-            grown = closure.alias("d").join(
-                closure.alias("e"), F.col(f"d.{parent}") == F.col(f"e.{child}")
+        if mode == "smart":
+            join_side = (
+                F.broadcast(closure)
+                if total_rows <= broadcast_row_threshold
+                else closure
             )
         else:
-            grown = delta.alias("d").join(
-                join_side.alias("e"), F.col(f"d.{parent}") == F.col(f"e.{child}")
-            )
+            join_side = linear_side
+        grown = delta.alias("d").join(
+            join_side.alias("e"), F.col(f"d.{parent}") == F.col(f"e.{child}")
+        )
         new_pairs = grown.select(
             F.col(f"d.{child}").alias(child), F.col(f"e.{parent}").alias(parent)
         ).dropDuplicates()
         delta = new_pairs.join(
             closure, on=[child, parent], how="left_anti"
         ).localCheckpoint()
-        if delta.isEmpty():
+        n_new = delta.count()
+        if n_new == 0:
             return closure
+        if total_rows is not None:
+            total_rows += n_new
         closure = closure.unionByName(delta).localCheckpoint()
     raise FixpointDidNotConverge(
         f"transitive_closure did not converge in {max_iterations} iterations"

@@ -50,8 +50,8 @@ def _bcast_if_small(df: DataFrame, threshold: int) -> DataFrame:
     return df
 
 
-def _sc_star(sc: DataFrame, classes: DataFrame, cfg: RGConfig) -> DataFrame:
-    """Reflexive-transitive class closure, plus implicit (c, TOP) pairs."""
+def _sc_star(sc: DataFrame, classes: DataFrame, cfg: RGConfig):
+    """(transitive closure, reflexive-transitive closure + implicit (c, TOP))."""
     tc = transitive_closure(
         sc,
         child="sub",
@@ -63,7 +63,10 @@ def _sc_star(sc: DataFrame, classes: DataFrame, cfg: RGConfig) -> DataFrame:
     top = classes.select(
         F.col("c").alias("sub"), F.lit(T.TOP).cast("int").alias("sup")
     )
-    return tc.unionByName(refl).unionByName(top).dropDuplicates().localCheckpoint()
+    star = (
+        tc.unionByName(refl).unionByName(top).dropDuplicates().localCheckpoint()
+    )
+    return tc, star
 
 
 def derive_relations(
@@ -130,8 +133,9 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
     sc = told["sc"].dropDuplicates().localCheckpoint()
     rel = None
     sc_star = None
+    sc_tc = None
     for _round in range(cfg.max_iterations):
-        sc_star = _sc_star(sc, classes, cfg)
+        sc_tc, sc_star = _sc_star(sc, classes, cfg)
         rel = derive_relations(
             sc_star, some, sp_star, cfg.broadcast_row_threshold
         ).localCheckpoint()
@@ -167,13 +171,9 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
             F.col("sub").alias("c")
         ).dropDuplicates()
 
-    sc_closure = transitive_closure(
-        sc,
-        child="sub",
-        parent="sup",
-        max_iterations=cfg.max_iterations,
-        broadcast_row_threshold=cfg.broadcast_row_threshold,
-    )
+    # the loop's final TC already closes the post-R4 subclass graph — no
+    # extra closure pass needed
+    sc_closure = sc_tc
     return {
         "rel": rel,
         "sc_closure": sc_closure,
@@ -228,7 +228,7 @@ def materialize(seq_df: DataFrame, cfg: RGConfig | None = None) -> DataFrame:
         )
         if cfg.properties is not None:
             ind = ind.where(F.col("p").isin(*[int(t) for t in cfg.properties]) if cfg.properties else F.lit(False))
-        out = out.unionByName(ind)
+        out = out.unionByName(ind).dropDuplicates()
 
     if cfg.output_subclasses:
         scc = m["sc_closure"].where(
@@ -278,8 +278,13 @@ def materialize(seq_df: DataFrame, cfg: RGConfig | None = None) -> DataFrame:
             )
             out = out.unionByName(refl)
 
+    # no global dropDuplicates: every unioned component is internally
+    # distinct, and the components are pairwise disjoint (existential rows
+    # carry property tokens >= FIRST_ENTITY_TOKEN; taxonomy rows carry the
+    # reserved SUBCLASSOF/EQUIVALENTCLASS predicates; reflexive rows have
+    # s == o while sc_closure rows were filtered to s != o).
     return out.select(
         F.col("s").cast("int").alias("s"),
         F.col("p").cast("int").alias("p"),
         F.col("o").cast("int").alias("o"),
-    ).dropDuplicates()
+    )
