@@ -594,7 +594,7 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
           SELECT user_id, ts,
                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTES
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTES
                       THEN 1 ELSE 0 END AS new_s
           FROM events
         ),

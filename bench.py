@@ -24,9 +24,9 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # ontology scale for the closure benchmark (edges/sec headline)
-    n_classes = int(os.environ.get("SPARK_GRAFT_BENCH_CLASSES", "50000"))
+    n_classes = int(os.environ.get("SPARK_GRAFT_BENCH_CLASSES", "20000"))
     n_props = int(os.environ.get("SPARK_GRAFT_BENCH_PROPS", "8"))
-    n_some = int(os.environ.get("SPARK_GRAFT_BENCH_SOME", "200000"))
+    n_some = int(os.environ.get("SPARK_GRAFT_BENCH_SOME", "100000"))
 
     import __spark_entry__ as entrymod
     from relation_graph_spark.config import RGConfig

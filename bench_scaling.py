@@ -1,0 +1,130 @@
+"""Scaling-efficiency evidence for the north rule's two-cluster-size
+criterion (BASELINE.json: >=0.8 throughput scaling from N to 4N executors).
+
+No real cluster exists in this sandbox, so per BASELINE.md the same job runs
+at two parallelism levels on the same host and input: local[8] vs local[32]
+(8 vs 32 executor threads, shuffle partitions matched). Each level runs in
+its own subprocess (fresh JVM — no warm-cache bleed). The measured job is
+the BASELINE metric itself: materialized-relation-edge output throughput of
+the R1-R4 fixpoint over the deterministic skewed ontology of FIXTURES.md
+section 8.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def worker(cpus: int, n_classes: int, n_props: int, n_some: int) -> None:
+    sys.path.insert(0, REPO)
+    from relation_graph_spark.config import RGConfig
+    from relation_graph_spark.fixtures import gen_ontology
+    from relation_graph_spark.materialize import materialize
+    from relation_graph_spark.session import get_spark
+
+    spark = get_spark(
+        f"rgs-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    seq = gen_ontology(spark, n_classes, n_props, n_some).localCheckpoint()
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    t0 = time.time()
+    edges = materialize(seq, cfg).count()
+    sec = time.time() - t0
+    print(
+        json.dumps(
+            {"cpus": cpus, "edges": edges, "sec": round(sec, 3),
+             "edges_per_sec": round(edges / sec, 1)}
+        )
+    )
+    spark.stop()
+
+
+def run_level(cpus: int, n_classes: int, n_props: int, n_some: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, __file__, "--worker", "--cpus", str(cpus),
+         "--classes", str(n_classes), "--props", str(n_props),
+         "--some", str(n_some)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--classes", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_CLASSES", "100000")))
+    ap.add_argument("--props", type=int, default=16)
+    ap.add_argument("--some", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_SOME", "1000000")))
+    args = ap.parse_args()
+    if args.worker:
+        worker(args.cpus, args.classes, args.props, args.some)
+        return
+
+    lo = run_level(8, args.classes, args.props, args.some)
+    hi = run_level(32, args.classes, args.props, args.some)
+    assert lo["edges"] == hi["edges"], "same input must give same output"
+    efficiency = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4.0
+    result = {
+        "metric": "materialized relation edges/sec scaling, local[8] -> local[32]",
+        "input": {"n_classes": args.classes, "n_props": args.props, "n_some": args.some},
+        "output_edges": hi["edges"],
+        "local8": lo,
+        "local32": hi,
+        "speedup_8_to_32": round(hi["edges_per_sec"] / lo["edges_per_sec"], 3),
+        "scaling_efficiency_N_to_4N": round(efficiency, 3),
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH/BASELINE.md — measured performance + scaling evidence
+
+Target metric (BASELINE.json): materialized relation edges/sec
+(closure-output throughput) with >=0.8 throughput scaling efficiency from
+N to 4N executors. Sandbox evidence per BASELINE.md: identical job + input
+at two parallelism levels on the 32-core host, fresh JVM each.
+
+## Workload
+
+Deterministic skewed ontology `gen(n_classes={args.classes},
+n_props={args.props}, n_some={args.some})` (FIXTURES.md section 8: 1% hub
+classes with ~100x subclass fan-in), R1-R4 materialization with subclass
+output. Output edges: {hi["edges"]:,} (bit-identical at both levels).
+
+## Results
+
+| level | threads | shuffle partitions | wall sec | edges/sec |
+|---|---|---|---|---|
+| N  | local[8]  | 8  | {lo["sec"]} | {lo["edges_per_sec"]:,} |
+| 4N | local[32] | 32 | {hi["sec"]} | {hi["edges_per_sec"]:,} |
+
+- speedup 8 -> 32 threads: **{result["speedup_8_to_32"]}x**
+- scaling efficiency (speedup / 4): **{result["scaling_efficiency_N_to_4N"]}**
+
+Caveat: both levels share one host, one JVM heap, one driver — local-mode
+scaling under-reports cluster scaling because the semi-naive loop's
+driver-side scheduling is a serial fraction that a multi-executor cluster
+amortizes across much larger per-round work. The per-round parallel
+fraction (joins, distinct, hash aggregation) is what scales; see
+bench.py's per-query timings for its share.
+
+Reference anchors (reference repo publishes no numbers — BASELINE.md):
+- apo-scale fixture (~619 classes) completes the full materialization well
+  inside the reference's 10 s CI budget (see tests/test_materialize.py).
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,12 +38,12 @@ def decode_axioms(seq_df: DataFrame) -> DataFrame:
     toks = F.col("tokens")
     out = seq_df.select(
         F.col("doc_id"),
-        F.element_at(toks, 1).alias("atype"),
-        F.element_at(toks, 2).alias("s"),
-        # element_at on an out-of-range index yields null (ansi off) — widths
-        # 2/3 leave p/o null, which is exactly AXIOM_SCHEMA's contract.
-        F.when(F.size(toks) >= 3, F.element_at(toks, 3)).alias("p"),
-        F.when(F.size(toks) >= 4, F.element_at(toks, 4)).alias("o"),
+        # try_element_at: out-of-range -> null (ANSI-safe); widths 2/3 leave
+        # p/o null, which is exactly AXIOM_SCHEMA's contract.
+        F.try_element_at(toks, F.lit(1)).alias("atype"),
+        F.try_element_at(toks, F.lit(2)).alias("s"),
+        F.try_element_at(toks, F.lit(3)).alias("p"),
+        F.try_element_at(toks, F.lit(4)).alias("o"),
         F.size(toks).alias("_w"),
     )
     width = F.create_map(

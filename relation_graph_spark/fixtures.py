@@ -144,9 +144,14 @@ def gen_ontology_rows(
                 parent = h % i
             rows.append([T.AX_SUBCLASS, base_c + i, base_c + parent])
     for k in range(n_some):
-        c = base_c + (k * 48271) % n_classes
+        # 64-bit multiplicative mixing so distinct (c, p, f) triples keep
+        # growing with n_some (a plain (k*a) % n mapping cycles after
+        # lcm(n, n_props) rows and saturates the workload)
+        h1 = (k * 0x9E3779B97F4A7C15) % (2**64)
+        h2 = ((k + 0x5851F42D) * 0xBF58476D1CE4E5B9) % (2**64)
+        c = base_c + (h1 >> 16) % n_classes
         p = base_p + k % n_props
-        f = base_c + (k * 16807) % n_classes
+        f = base_c + (h2 >> 16) % n_classes
         rows.append([T.AX_SOME, c, p, f])
     return rows
 

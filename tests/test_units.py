@@ -1,0 +1,280 @@
+"""Per-operator unit tests: decode (JVM == Arrow), hashing, prefix
+compaction, sinks, closure modes, window ops, and the training-data ops on
+literal micro-data."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from relation_graph_spark import fixtures as FX
+from relation_graph_spark import tokens as T
+
+
+# ------------------------------------------------------------------- decode
+def test_decode_jvm_equals_arrow(spark):
+    from relation_graph_spark.decode import decode_axioms, decode_axioms_arrow
+
+    seq = FX.materialize_test(spark)
+    jvm = {tuple(r) for r in decode_axioms(seq).collect()}
+    arrow = {tuple(r) for r in decode_axioms_arrow(seq).collect()}
+    assert jvm == arrow and len(jvm) == 12
+
+
+def test_decode_drops_malformed_and_unknown(spark):
+    from relation_graph_spark.decode import decode_axioms
+    from relation_graph_spark.schema import SEQ_SCHEMA
+
+    rows = [
+        ("d1", [999, 1, 2], 3, "x"),     # unknown axiom type
+        ("d2", [T.AX_SOME, 5, 6], 3, "x"),  # too short for width-4 layout
+        ("d3", [T.AX_SUBCLASS, 5, 6], 3, "x"),  # valid
+        ("d4", [], 0, "x"),               # empty
+    ]
+    df = spark.createDataFrame(rows, SEQ_SCHEMA)
+    got = decode_axioms(df).collect()
+    assert len(got) == 1 and got[0].doc_id == "d3"
+
+
+# ------------------------------------------------------------------ hashing
+def test_edge_hash_matches_python_reference(spark):
+    import base64
+    import hashlib
+
+    from relation_graph_spark.hashing import with_edge_hash
+
+    df = spark.createDataFrame([(11, 21, 14)], "s: int, p: int, o: int")
+    got = with_edge_hash(df).collect()[0]
+    expect = base64.b64encode(hashlib.sha256(b"11:21:14").digest()).decode()
+    assert got.edge_hash == expect
+    assert got.edge == [11, 21, 14]
+
+
+def test_reify_owl_shapes(spark):
+    from relation_graph_spark.hashing import reify_owl
+
+    vocab = FX.materialize_test_vocab(spark)
+    edges = spark.createDataFrame(
+        [(11, 21, 14), (12, T.SUBCLASSOF, 11)], "s: int, p: int, o: int"
+    )
+    out = reify_owl(edges, vocab).collect()
+    # 1 existential edge -> 4 triples; 1 subclass edge passes through
+    assert len(out) == 5
+    bnodes = {r.o for r in out if r.o.startswith("_:")}
+    assert len(bnodes) == 1
+
+
+# ------------------------------------------------------------------- prefix
+def test_prefix_compaction_longest_first(spark):
+    from relation_graph_spark.prefix import compact_iri
+
+    prefixes = {
+        "ex": "http://example.org/",
+        "exsub": "http://example.org/sub/",
+    }
+    df = spark.createDataFrame(
+        [
+            ("http://example.org/sub/X",),
+            ("http://example.org/Y",),
+            ("http://purl.obolibrary.org/obo/BFO_0000050",),
+            ("http://unknown.org/Z",),
+        ],
+        "iri: string",
+    )
+    got = [r.c for r in df.select(compact_iri(F.col("iri"), prefixes).alias("c")).collect()]
+    assert got == ["exsub:X", "ex:Y", "BFO:0000050", "http://unknown.org/Z"]
+
+
+def test_ntriples_formatting(spark):
+    from relation_graph_spark.hashing import to_iris, to_ntriples
+
+    vocab = FX.materialize_test_vocab(spark)
+    edges = spark.createDataFrame([(11, 21, 14)], "s: int, p: int, o: int")
+    lines = [r.line for r in to_ntriples(to_iris(edges, vocab)).collect()]
+    assert lines == [
+        "<http://example.org/test#A> <http://example.org/test#p> <http://example.org/test#D> ."
+    ]
+
+
+# -------------------------------------------------------------------- sinks
+def test_idempotent_sink_replay_and_orphan(spark, tmp_path):
+    from relation_graph_spark.sinks import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(spark, str(tmp_path / "s"))
+    df1 = spark.createDataFrame([("a",), ("b",)], "edge_hash: string")
+    m1 = sink.append_new_only(df1, 0)
+    assert m1["n_rows"] == 2
+    # replay of batch 0 is a no-op
+    m1b = sink.append_new_only(df1, 0)
+    assert m1b == m1 and sink.read().count() == 2
+    # batch 1 with an overlapping key: only the new key lands
+    df2 = spark.createDataFrame([("b",), ("c",)], "edge_hash: string")
+    m2 = sink.append_new_only(df2, 1)
+    assert m2["n_rows"] == 1
+    got = sorted(r.edge_hash for r in sink.read().collect())
+    assert got == ["a", "b", "c"]
+    # orphan data without manifest is invisible
+    orphan = str(tmp_path / "s" / "data" / "batch=99")
+    spark.createDataFrame([("z",)], "edge_hash: string").write.parquet(orphan)
+    assert sink.read().count() == 3
+
+
+# ------------------------------------------------------------------ closure
+def test_closure_modes_agree_on_cycle(spark):
+    from relation_graph_spark.closure import transitive_closure
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "child: bigint, parent: bigint"
+    )
+    smart = {tuple(r) for r in transitive_closure(edges, mode="smart").collect()}
+    linear = {tuple(r) for r in transitive_closure(edges, mode="linear").collect()}
+    assert smart == linear
+    assert (1, 1) in smart and (1, 4) in smart and len(smart) == 12
+
+
+def test_closure_long_chain_smart_rounds(spark):
+    from relation_graph_spark.closure import transitive_closure
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "child: bigint, parent: bigint"
+    )
+    tc = transitive_closure(edges, max_iterations=10)  # needs log2(60) ~ 6 rounds
+    assert tc.count() == n * (n + 1) // 2
+
+
+# ------------------------------------------------------------------ windows
+def test_session_window_gap_boundary(spark):
+    from datetime import datetime
+
+    from relation_graph_spark.streaming.windows import session_agg
+
+    rows = [
+        (1, datetime(2026, 1, 1, 0, 0, 0), 1.0),
+        (1, datetime(2026, 1, 1, 0, 10, 0), 1.0),  # same session (<30m)
+        (1, datetime(2026, 1, 1, 0, 40, 0), 1.0),  # exactly 30m gap -> MERGED
+        (1, datetime(2026, 1, 1, 1, 40, 1), 1.0),  # >30m gap -> new session
+        (2, datetime(2026, 1, 1, 0, 0, 0), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id: bigint, ts: timestamp, value: double")
+    got = {
+        (r.user_id, r.first_ts.minute, r.n_events)
+        for r in session_agg(df, "30 minutes").collect()
+    }
+    # Spark merges an event landing exactly at session end (gap-inclusive)
+    assert got == {(1, 0, 3), (1, 40, 1), (2, 0, 1)}
+
+
+# ---------------------------------------------------------------------- ops
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: bigint, text: string"
+    )
+
+
+def test_exact_dedup_unit(spark):
+    from relation_graph_spark.ops.dedup import exact_dedup
+
+    docs = _docs(spark, ["same text", "same text", "other"])
+    got = {(r.canonical_doc_id, r.n_copies) for r in exact_dedup(docs).collect()}
+    assert got == {(0, 2), (2, 1)}
+
+
+def test_jaccard_pairs_unit(spark):
+    from relation_graph_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, ["a b c d", "a b c e", "x y z w"])
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_ppm
+        for r in ngram_jaccard_pairs(docs, threshold_ppm=0).collect()
+    }
+    assert got[(0, 1)] == 600000  # |{a,b,c}| / |{a,b,c,d,e}| = 3/5
+    assert got[(0, 2)] == 0
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    from relation_graph_spark.ops.dedup import lsh_candidate_pairs
+
+    docs = _docs(spark, ["alpha beta gamma", "alpha beta gamma", "unrelated words here"])
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    from relation_graph_spark.ops.dedup import simhash
+
+    docs = _docs(
+        spark,
+        ["the quick brown fox jumps", "the quick brown fox leaps", "zzz qqq vvv"],
+    )
+    h = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    d01 = bin(h[0] ^ h[1]).count("1")
+    d02 = bin(h[0] ^ h[2]).count("1")
+    assert d01 < d02
+
+
+def test_lang_id_unit(spark):
+    from relation_graph_spark.ops.text import lang_id
+
+    docs = _docs(
+        spark,
+        ["the cat is on the mat and it is flat",
+         "el gato que se sienta en la alfombra y los perros",
+         "zxcvb qwerty"],
+    )
+    got = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert got == {0: "en", 1: "es", 2: "unk"}
+
+
+def test_cosine_topk_unit(spark):
+    from relation_graph_spark.ops.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.1, 0.0]),   # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    got = [r.vec_id for r in cosine_topk(emb, 0, k=3).orderBy("rank").collect()]
+    assert got == [1, 2, 3]
+
+
+def test_cosine_topk_arrow_matches_exact(spark):
+    from relation_graph_spark.ops.similarity import cosine_topk, cosine_topk_arrow
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    query = emb.where(F.col("vec_id") == 0).collect()[0].embedding
+    exact = [r.vec_id for r in cosine_topk(emb, 0, k=10).orderBy("rank").collect()]
+    arrow = [
+        r.vec_id
+        for r in cosine_topk_arrow(emb.where(F.col("vec_id") != 0), query, k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    # quantized-int vs float64 paths may swap near-ties; compare as sets
+    assert set(exact) == set(arrow)
+
+
+def test_multimodal_stub_contract(spark):
+    from relation_graph_spark.ops.multimodal import decode_image_features, synthesize_media
+
+    docs = _docs(spark, ["hello world", "abc"])
+    media = synthesize_media(docs)
+    with pytest.raises(NotImplementedError):
+        decode_image_features(media, fake=False).collect()
+    got = decode_image_features(media, dim=4, fake=True).collect()
+    assert len(got) == 2
+    assert all(len(r.features) == 4 for r in got)
+    assert {r.n_bytes for r in got} == {11, 3}
+
+
+def test_gen_ontology_deterministic(spark):
+    from relation_graph_spark.fixtures import gen_ontology_rows
+
+    a = gen_ontology_rows(500, 4, 1000)
+    b = gen_ontology_rows(500, 4, 1000)
+    assert a == b and len(a) > 1500
