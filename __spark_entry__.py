@@ -358,6 +358,14 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+def q_ann_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from relation_graph_spark.ops.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold_ppm=150000, max_vec_id=300
+    )
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible block (rows-only checks)
 # --------------------------------------------------------------------------
@@ -452,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
+        "ann_near_dup_pairs": q_ann_near_dup_pairs,
         "mm_decode_features": q_mm_decode_features,
         "rg_incremental_stream": q_rg_incremental_stream,
     }
@@ -777,6 +786,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, cosine_ppm,
                CAST(row_number() OVER (ORDER BY cosine_ppm DESC, vec_id ASC) AS INT) AS rank
         FROM s QUALIFY rank <= 10
+    """
+
+    q["ann_near_dup_pairs"] = f"""
+        WITH b AS (
+          SELECT vec_id, {_QVEC} AS q,
+                 (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+                 (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+                 (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+          FROM embeddings WHERE vec_id < 300
+        ),
+        p AS (
+          SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+                 CAST(floor(
+                   list_sum(list_transform(list_zip(a.q, b2.q), z -> z[1] * z[2])) * 1000000 /
+                   sqrt(CAST(list_sum(list_transform(a.q, x -> x * x)) AS DOUBLE) *
+                        CAST(list_sum(list_transform(b2.q, x -> x * x)) AS DOUBLE))
+                 ) AS BIGINT) AS cosine_ppm
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        )
+        SELECT vec_a, vec_b, cosine_ppm FROM p WHERE cosine_ppm >= 150000
     """
 
     q["ann_bucketed_topk"] = f"""

@@ -48,15 +48,24 @@ def worker(cpus: int, n_classes: int, n_props: int, n_some: int) -> None:
     spark.stop()
 
 
-def run_level(cpus: int, n_classes: int, n_props: int, n_some: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, __file__, "--worker", "--cpus", str(cpus),
-         "--classes", str(n_classes), "--props", str(n_props),
-         "--some", str(n_some)],
-        capture_output=True, text=True, timeout=3600,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+def run_level(cpus: int, n_classes: int, n_props: int, n_some: int, repeats: int = 3) -> dict:
+    """Best of `repeats` runs (min wall time). The sandbox host is shared
+    (load average 6-11 from neighbors), so a single run mixes our job with
+    external contention; the minimum approximates uncontended performance
+    at each level."""
+    best = None
+    for _ in range(repeats):
+        out = subprocess.run(
+            [sys.executable, __file__, "--worker", "--cpus", str(cpus),
+             "--classes", str(n_classes), "--props", str(n_props),
+             "--some", str(n_some)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    return best
 
 
 def main() -> None:
@@ -101,6 +110,9 @@ classes with ~100x subclass fan-in), R1-R4 materialization with subclass
 output. Output edges: {hi["edges"]:,} (bit-identical at both levels).
 
 ## Results
+
+Each level = best of 3 fresh-JVM runs (the sandbox host is shared with
+external load; the min approximates uncontended performance per level).
 
 | level | threads | shuffle partitions | wall sec | edges/sec |
 |---|---|---|---|---|

@@ -101,6 +101,42 @@ def bucketed_topk(emb: DataFrame, query_vec_id: int, k: int = 10, n_dims: int = 
     return cosine_topk(candidates, query_vec_id, k)
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame, threshold_ppm: int = 990000, max_vec_id: int | None = None
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t).
+
+    Brute-force tier over a bounded id range; the scale path blocks by
+    sign_bucket first (near-identical vectors share the bucket with high
+    probability), turning the quadratic self-join into per-bucket joins —
+    bucket is the blocking/partition key at 100 TB.
+    """
+    q = with_quantized(emb if max_vec_id is None else emb.where(F.col("vec_id") < max_vec_id))
+    q = q.withColumn("bucket", sign_bucket(F.col("embedding"), 4)).select(
+        "vec_id", "q", "q_norm2", "bucket"
+    )
+    a = q.alias("a")
+    b = q.alias("b")
+    cos = F.floor(
+        _dot(F.col("a.q"), F.col("b.q"))
+        * 1000000
+        / F.sqrt(F.col("a.q_norm2").cast("double") * F.col("b.q_norm2").cast("double"))
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine_ppm"),
+        )
+        .where(F.col("cosine_ppm") >= threshold_ppm)
+    )
+
+
 def cosine_topk_arrow(emb: DataFrame, query: list[float], k: int = 10) -> DataFrame:
     """Vectorized numpy brute force: per Arrow batch, one matrix-vector
     product; per-partition top-k then global top-k. float64 path (not
