@@ -165,6 +165,19 @@ def q_rg_reify_owl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quads
 
 
+def q_rg_ntriples_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples sink formatting (S5): '<s> <p> <o> .' lines."""
+    from relation_graph_spark.hashing import to_ntriples
+
+    nation = _t(spark, sf_dir, "nation")
+    iri = nation.select(
+        F.concat(F.lit("http://example.org/nation/"), F.col("n_nationkey")).alias("s"),
+        F.lit("http://example.org/prop/locatedIn").alias("p"),
+        F.concat(F.lit("http://example.org/region/"), F.col("n_regionkey")).alias("o"),
+    )
+    return to_ntriples(iri)
+
+
 def q_rg_prefix_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OBO-style prefix compaction (F3, reference
     LongestFirstPrefixMapping.scala:17-21)."""
@@ -441,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rg_edge_hash": q_rg_edge_hash,
         "rg_set_union_edges": q_rg_set_union_edges,
         "rg_reify_owl": q_rg_reify_owl,
+        "rg_ntriples_lines": q_rg_ntriples_lines,
         "rg_prefix_compact": q_rg_prefix_compact,
         "rg_materialize_fixture": q_rg_materialize_fixture,
         "win_tumbling_hour": q_win_tumbling_hour,
@@ -568,6 +582,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT bnode, 'http://www.w3.org/2002/07/owl#onProperty', p FROM b
         UNION ALL
         SELECT bnode, 'http://www.w3.org/2002/07/owl#someValuesFrom', o FROM b
+    """
+
+    q["rg_ntriples_lines"] = """
+        SELECT '<http://example.org/nation/' || CAST(n_nationkey AS VARCHAR) ||
+               '> <http://example.org/prop/locatedIn> <http://example.org/region/' ||
+               CAST(n_regionkey AS VARCHAR) || '> .' AS line
+        FROM nation
     """
 
     q["rg_prefix_compact"] = """

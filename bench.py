@@ -30,7 +30,7 @@ def main():
 
     import __spark_entry__ as entrymod
     from relation_graph_spark.config import RGConfig
-    from relation_graph_spark.fixtures import gen_ontology
+    from relation_graph_spark.fixtures import gen_ontology_spark
     from relation_graph_spark.materialize import materialize
     from relation_graph_spark.session import get_spark
 
@@ -43,7 +43,7 @@ def main():
 
     # 1) headline: R1-R4 materialization of the generated skewed ontology
     t0 = time.time()
-    seq = gen_ontology(spark, n_classes, n_props, n_some).localCheckpoint()
+    seq = gen_ontology_spark(spark, n_classes, n_props, n_some).localCheckpoint()
     gen_sec = time.time() - t0
     cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
     t0 = time.time()

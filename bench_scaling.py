@@ -27,14 +27,14 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 def worker(cpus: int, n_classes: int, n_props: int, n_some: int) -> None:
     sys.path.insert(0, REPO)
     from relation_graph_spark.config import RGConfig
-    from relation_graph_spark.fixtures import gen_ontology
+    from relation_graph_spark.fixtures import gen_ontology_spark
     from relation_graph_spark.materialize import materialize
     from relation_graph_spark.session import get_spark
 
     spark = get_spark(
         f"rgs-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
-    seq = gen_ontology(spark, n_classes, n_props, n_some).localCheckpoint()
+    seq = gen_ontology_spark(spark, n_classes, n_props, n_some).localCheckpoint()
     cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
     t0 = time.time()
     edges = materialize(seq, cfg).count()

@@ -161,3 +161,65 @@ def gen_ontology(
 ) -> DataFrame:
     rows = gen_ontology_rows(n_classes, n_props, n_some, **kw)
     return _rows_to_df(spark, rows, f"gen_{n_classes}_{n_props}_{n_some}")
+
+
+def gen_ontology_spark(
+    spark: SparkSession,
+    n_classes: int,
+    n_props: int,
+    n_some: int,
+    hub_pct: float = 0.01,
+    hub_boost: int = 100,
+) -> DataFrame:
+    """Spark-native deterministic generator (same shape as gen_ontology_rows;
+    bench-scale variant). Built from spark.range + column expressions, so a
+    10^9-row input materializes distributedly — no driver-side row list. All
+    hash mixing stays under 2^63 (ANSI-safe): h = (k * 2654435761) % 2^32.
+    """
+    import pyspark.sql.functions as F
+
+    base_c, base_p = 100, 100 + n_classes
+    n_hubs = max(1, int(n_classes * hub_pct))
+    src = F.lit(f"gens_{n_classes}_{n_props}_{n_some}")
+
+    def seq(df, tokens_col):
+        return df.select(
+            F.format_string("d%08d", F.monotonically_increasing_id()).alias("doc_id"),
+            tokens_col.cast("array<int>").alias("tokens"),
+            F.size(tokens_col).cast("int").alias("n_tok"),
+            src.alias("source"),
+        )
+
+    props = spark.range(n_props).select(
+        F.array(F.lit(T.AX_DECL_PROP), (F.col("id") + base_p)).alias("t")
+    )
+    prop_chain = spark.range(max(0, n_props - 1)).select(
+        F.array(
+            F.lit(T.AX_SUBPROP), F.col("id") + base_p, F.col("id") + base_p + 1
+        ).alias("t")
+    )
+    cls = spark.range(n_classes).select(
+        F.array(F.lit(T.AX_DECL_CLASS), F.col("id") + base_c).alias("t")
+    )
+    h = F.pmod(F.col("id") * F.lit(2654435761), F.lit(2**32))
+    parent = F.when(
+        F.pmod(h, F.lit(hub_boost)) != 0, F.pmod(h, F.lit(n_hubs))
+    ).otherwise(F.pmod(h, F.col("id")))
+    sc = spark.range(1, n_classes).select(
+        F.array(F.lit(T.AX_SUBCLASS), F.col("id") + base_c, parent + base_c).alias("t")
+    )
+    h1 = F.pmod(F.col("id") * F.lit(2654435761) + F.lit(0x9E3779B9), F.lit(2**32))
+    h2 = F.pmod((F.col("id") + F.lit(0x5851F42D)) * F.lit(0x61C88647), F.lit(2**32))
+    some = spark.range(n_some).select(
+        F.array(
+            F.lit(T.AX_SOME),
+            F.pmod(h1, F.lit(n_classes)) + base_c,
+            F.pmod(F.col("id"), F.lit(n_props)) + base_p,
+            F.pmod(h2, F.lit(n_classes)) + base_c,
+        ).alias("t")
+    )
+    parts = [seq(d, F.col("t")) for d in (props, prop_chain, cls, sc, some)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -67,9 +67,21 @@ class IncrementalClosureJob:
         self.horizon = watermark_horizon_seconds
         self.sink = IdempotentParquetSink(spark, os.path.join(work_dir, "sink"))
         self.told_dir = os.path.join(work_dir, "told_state")
+        self.state_dir = os.path.join(work_dir, "closure_state")
         self.hwm_path = os.path.join(work_dir, "watermark.json")
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         os.makedirs(work_dir, exist_ok=True)
+
+    def _latest_state_batch(self) -> int | None:
+        """Newest batch id that is BOTH sink-committed and has a state dir —
+        a state written right before a crash (uncommitted) is ignored and
+        rebuilt by the replay."""
+        candidates = [
+            b
+            for b in self.sink.committed_batches()
+            if os.path.isdir(os.path.join(self.state_dir, f"batch={b}"))
+        ]
+        return max(candidates) if candidates else None
 
     # ---------------------------------------------------------------- state
     def _load_hwm(self) -> float | None:
@@ -123,14 +135,33 @@ class IncrementalClosureJob:
         batch_seq = batch_df.select(*seq_cols)
         batch_seq.write.mode("append").parquet(self.told_dir)
 
-        # per-window fixpoint over the accumulated told set; doc_id dedup
-        # makes a crash between told-append and sink-commit replay-safe
-        told_seq = self.spark.read.parquet(self.told_dir).dropDuplicates(["doc_id"])
-        edges = materialize(told_seq.select("doc_id", "tokens", "n_tok", "source"), self.cfg)
+        # incremental fixpoint: fold the batch delta into the persisted
+        # ClosureState (delta-restricted R3 + incremental TC; transparent
+        # full-recompute fallback when equivalence feedback is present)
+        from relation_graph_spark.decode import decode_axioms, told_tables
+        from relation_graph_spark.incremental import (
+            apply_delta,
+            assemble_from_state,
+            initial_state,
+            load_state,
+            save_state,
+        )
+
+        delta_told = told_tables(
+            decode_axioms(batch_seq.select("doc_id", "tokens", "n_tok", "source"))
+        )
+        prev = self._latest_state_batch()
+        if prev is None:
+            state = initial_state(delta_told, self.cfg)
+        else:
+            state = apply_delta(load_state(self.spark, self.state_dir, prev), delta_told, self.cfg)
+        save_state(state, self.state_dir, int(batch_id))
+        edges = assemble_from_state(state, self.cfg)
         hashed = with_edge_hash(edges)
 
         # J7: new-edges x accumulated-closure stateful join == manifest-backed
         # anti-join on edge_hash; lineage = per-source edge counts
+        told_seq = self.spark.read.parquet(self.told_dir).dropDuplicates(["doc_id"])
         per_source = {
             r["source"]: r["n"]
             for r in told_seq.groupBy("source").agg(F.count("*").alias("n")).collect()
