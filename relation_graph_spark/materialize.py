@@ -375,3 +375,29 @@ def assemble_output(m: dict[str, DataFrame], cfg: RGConfig) -> DataFrame:
         F.col("p").cast("int").alias("p"),
         F.col("o").cast("int").alias("o"),
     )
+
+
+def materialize_presented(
+    seq_df: DataFrame,
+    cfg: RGConfig,
+    vocab: DataFrame,
+    prefixes: dict[str, str] | None = None,
+) -> DataFrame:
+    """materialize + the presentation edge selected by cfg.mode (the full
+    reference CLI behavior, Main.scala:51-78):
+
+    - RDF: IRI triples (s, p, o) strings
+    - OWL: reified quads per existential edge (hashing.reify_owl)
+    - TSV: longest-first prefix-compacted (s, p, o) strings (prefix module)
+    """
+    from relation_graph_spark.config import OutputMode
+    from relation_graph_spark.hashing import reify_owl, to_iris
+    from relation_graph_spark.prefix import compact_triples
+
+    edges = materialize(seq_df, cfg)
+    if cfg.mode == OutputMode.OWL:
+        return reify_owl(edges, vocab)
+    iri = to_iris(edges, vocab)
+    if cfg.mode == OutputMode.TSV:
+        return compact_triples(iri, prefixes or {})
+    return iri
