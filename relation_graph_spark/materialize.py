@@ -377,6 +377,21 @@ def assemble_output(m: dict[str, DataFrame], cfg: RGConfig) -> DataFrame:
     )
 
 
+def existential_subclasses(
+    seq_df: DataFrame, property_token: int, filler_token: int, cfg: RGConfig | None = None
+) -> DataFrame:
+    """Single-restriction query: every named class S with
+    S SubClassOf (property some filler) — the reference's per-work-item
+    existential query (RelationGraph.scala:159-170) exposed as a public API.
+    Evaluated by filtering the whole-relation materialization; Catalyst
+    pushes the (p, o) filter below the final distinct."""
+    cfg = cfg or RGConfig(output_subclasses=False)
+    edges = materialize(seq_df, cfg)
+    return edges.where(
+        (F.col("p") == int(property_token)) & (F.col("o") == int(filler_token))
+    ).select(F.col("s").alias("subclass"))
+
+
 def materialize_presented(
     seq_df: DataFrame,
     cfg: RGConfig,

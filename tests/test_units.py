@@ -272,6 +272,16 @@ def test_multimodal_stub_contract(spark):
     assert {r.n_bytes for r in got} == {11, 3}
 
 
+def test_existential_subclasses_restriction_query(spark):
+    from relation_graph_spark.materialize import existential_subclasses
+
+    got = {
+        r.subclass
+        for r in existential_subclasses(FX.materialize_test(spark), FX.P_, FX.D_).collect()
+    }
+    assert got == {FX.A_, FX.B_, FX.C_}  # everything entailed under (p some D)
+
+
 def test_gen_ontology_deterministic(spark):
     from relation_graph_spark.fixtures import gen_ontology_rows
 
