@@ -56,8 +56,11 @@ def to_ntriples(iri_edges: DataFrame) -> DataFrame:
 
 
 def reify_owl(edges: DataFrame, vocab: DataFrame) -> DataFrame:
-    """OWL output mode: each existential edge (s, p, o) becomes 4 triples with
-    a deterministic blank node _:b = base64(sha2(s+p+o)) (F1/F5):
+    """OWL output mode: one ontology-header triple
+    (_:redundant rdf:type owl:Ontology — F6, reference
+    RelationGraph.scala:63-64), then each existential edge (s, p, o) becomes
+    4 triples with a deterministic blank node _:b = base64(sha2(s+p+o))
+    (F1/F5):
 
         s  rdfs:subClassOf  _:b
         _:b rdf:type owl:Restriction
@@ -104,4 +107,14 @@ def reify_owl(edges: DataFrame, vocab: DataFrame) -> DataFrame:
             )
         ).alias("t")
     ).select("t.s", "t.p", "t.o")
-    return passthrough.unionByName(quads)
+    header = edges.sparkSession.createDataFrame(
+        [
+            (
+                "_:redundant",
+                T.RESERVED_IRIS[T.RDF_TYPE],
+                "http://www.w3.org/2002/07/owl#Ontology",
+            )
+        ],
+        "s: string, p: string, o: string",
+    )
+    return header.unionByName(passthrough).unionByName(quads)

@@ -23,8 +23,8 @@ def test_owl_mode_reified(spark):
         FX.materialize_test(spark), cfg, FX.materialize_test_vocab(spark)
     )
     rows = [(r.s, r.p, r.o) for r in out.collect()]
-    # 8 existential edges x 4 reified triples + 4 taxonomy passthrough rows
-    assert len(rows) == 8 * 4 + 4
+    # header + 8 existential edges x 4 reified triples + 4 taxonomy rows
+    assert len(rows) == 1 + 8 * 4 + 4
     bnodes = {o for _, _, o in rows if o.startswith("_:")}
     assert len(bnodes) == 8  # deterministic, distinct per edge
 

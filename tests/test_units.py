@@ -58,8 +58,9 @@ def test_reify_owl_shapes(spark):
         [(11, 21, 14), (12, T.SUBCLASSOF, 11)], "s: int, p: int, o: int"
     )
     out = reify_owl(edges, vocab).collect()
-    # 1 existential edge -> 4 triples; 1 subclass edge passes through
-    assert len(out) == 5
+    # header triple + 1 existential edge -> 4 triples + 1 subclass passthrough
+    assert len(out) == 6
+    assert any(r.s == "_:redundant" for r in out)
     bnodes = {r.o for r in out if r.o.startswith("_:")}
     assert len(bnodes) == 1
 
