@@ -24,21 +24,40 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def worker(cpus: int, n_classes: int, n_props: int, n_some: int) -> None:
+def worker(cpus: int, n_classes: int, n_props: int, n_some: int,
+           op: str = "closure", master_spec: str | None = None) -> None:
     sys.path.insert(0, REPO)
-    from relation_graph_spark.config import RGConfig
-    from relation_graph_spark.fixtures import gen_ontology_spark
-    from relation_graph_spark.materialize import materialize
     from relation_graph_spark.session import get_spark
 
-    spark = get_spark(
-        f"rgs-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
-    )
-    seq = gen_ontology_spark(spark, n_classes, n_props, n_some).localCheckpoint()
-    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
-    t0 = time.time()
-    edges = materialize(seq, cfg).count()
-    sec = time.time() - t0
+    master = master_spec or f"local[{cpus}]"
+    spark = get_spark(f"rgs-scaling-{cpus}", master=master, shuffle_partitions=32)
+
+    if op == "closure":
+        from relation_graph_spark.config import RGConfig
+        from relation_graph_spark.fixtures import gen_ontology_spark
+        from relation_graph_spark.materialize import materialize
+
+        seq = gen_ontology_spark(spark, n_classes, n_props, n_some).localCheckpoint()
+        cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+        t0 = time.time()
+        edges = materialize(seq, cfg).count()
+        sec = time.time() - t0
+    else:  # minhash: CPU-per-byte-heavy operator over a synthetic corpus
+        import pyspark.sql.functions as F
+
+        from relation_graph_spark.ops.dedup import minhash_signatures
+
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.substring(F.md5((F.col("id") * 61 + i).cast("string")), 1, 8),
+        )
+        docs = spark.range(0, n_some, 1, 32).select(
+            F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+        ).localCheckpoint()
+        t0 = time.time()
+        edges = minhash_signatures(docs, num_hashes=8).count()
+        sec = time.time() - t0
+
     print(
         json.dumps(
             {"cpus": cpus, "edges": edges, "sec": round(sec, 3),
@@ -79,9 +98,13 @@ def main() -> None:
     ap.add_argument("--classes", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_CLASSES", "100000")))
     ap.add_argument("--props", type=int, default=16)
     ap.add_argument("--some", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_SOME", "1000000")))
+    ap.add_argument("--op", choices=["closure", "minhash"], default="closure")
+    ap.add_argument("--master-spec", default=None,
+                    help="e.g. local-cluster[8,4,6144] for real executor JVMs")
     args = ap.parse_args()
     if args.worker:
-        worker(args.cpus, args.classes, args.props, args.some)
+        worker(args.cpus, args.classes, args.props, args.some,
+               op=args.op, master_spec=args.master_spec)
         return
 
     lo = run_level(8, args.classes, args.props, args.some)
