@@ -432,12 +432,12 @@ def q_rg_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary-ish payload -> Arrow-batched feature UDF
-    (deterministic stand-in decoder)."""
-    from relation_graph_spark.ops.multimodal import decode_image_features, synthesize_media
+    """Multimodal plumbing: binary payload -> vectorized Arrow feature UDF
+    (byte-histogram featurizer; exact integer ppm, DuckDB-mirrorable)."""
+    from relation_graph_spark.ops.multimodal import payload_byte_features, synthesize_media
 
     media = synthesize_media(_t(spark, sf_dir, "documents"))
-    return decode_image_features(media, dim=8, fake=True)
+    return payload_byte_features(media, dim=8)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -857,6 +857,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, cosine_ppm,
                CAST(row_number() OVER (ORDER BY cosine_ppm DESC, vec_id ASC) AS INT) AS rank
         FROM s QUALIFY rank <= 10
+    """
+
+    # payload bytes == code points because the synthetic documents are pure
+    # ASCII (the Spark side hists real UTF-8 bytes; at scale the payload is
+    # genuine binary and the oracle comparison is done on byte dumps instead)
+    q["mm_decode_features"] = """
+        WITH chars AS (
+          SELECT doc_id AS media_id, length(text) AS n_bytes,
+                 ascii(unnest(split(text, ''))) // 32 AS bin
+          FROM documents
+        ),
+        counts AS (
+          SELECT media_id, bin, COUNT(*) AS cnt FROM chars GROUP BY media_id, bin
+        ),
+        dims AS (
+          SELECT doc_id AS media_id, length(text) AS n_bytes,
+                 unnest(range(8)) AS dim_idx
+          FROM documents
+        )
+        SELECT CAST(d.media_id AS BIGINT) AS media_id,
+               CAST(d.n_bytes AS BIGINT) AS n_bytes,
+               CAST(d.dim_idx AS INT) AS dim_idx,
+               CAST(CASE WHEN d.n_bytes > 0
+                    THEN COALESCE(c.cnt, 0) * 1000000 // d.n_bytes
+                    ELSE 0 END AS BIGINT) AS feat_ppm
+        FROM dims d
+        LEFT JOIN counts c ON d.media_id = c.media_id AND d.dim_idx = c.bin
     """
 
     return q

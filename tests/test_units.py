@@ -260,17 +260,30 @@ def test_cosine_topk_arrow_matches_exact(spark):
     assert set(exact) == set(arrow)
 
 
-def test_multimodal_stub_contract(spark):
-    from relation_graph_spark.ops.multimodal import decode_image_features, synthesize_media
+def test_multimodal_features_and_stub_contract(spark):
+    from relation_graph_spark.ops.multimodal import (
+        decode_image_features,
+        payload_byte_features,
+        synthesize_media,
+    )
 
     docs = _docs(spark, ["hello world", "abc"])
     media = synthesize_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
     with pytest.raises(NotImplementedError):
-        decode_image_features(media, fake=False).collect()
-    got = decode_image_features(media, dim=4, fake=True).collect()
-    assert len(got) == 2
-    assert all(len(r.features) == 4 for r in got)
-    assert {r.n_bytes for r in got} == {11, 3}
+        decode_image_features(media)
+    got = payload_byte_features(media, dim=4).collect()
+    # one row per (media, dim); exact integer ppm
+    assert len(got) == 2 * 4
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.media_id, {})[r.dim_idx] = (r.n_bytes, r.feat_ppm)
+    for text, rows in zip(["hello world", "abc"], by_doc.values()):
+        data = text.encode()
+        n = len(data)
+        for d in range(4):
+            cnt = sum(1 for b in data if b >> 6 == d)
+            assert rows[d] == (n, cnt * 1_000_000 // n)
 
 
 def test_existential_subclasses_restriction_query(spark):
