@@ -484,6 +484,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
+# Fixture-A R1-R4 fixpoint, unrolled to 2 rounds (this fixture needs exactly
+# one R4 feedback round; round 2 re-derives at fixpoint). Told facts mirror
+# relation_graph_spark.fixtures.MATERIALIZE_TEST_ROWS (the reference's
+# materialize_test.ofn re-encoded); output config: output_subclasses=True,
+# reflexive_subclasses=False, equivalence_as_subclass=True (engine defaults
+# mirror reference Config.scala defaults). Used for BOTH the batch fixture
+# query and the streaming pipeline (stream output == one-shot batch output).
+_FIXTURE_A_SQL = """
+    WITH RECURSIVE
+    sc0(sub, sup) AS (VALUES (12, 11), (13, 12)),
+    somet(s, p, f) AS (VALUES (11, 21, 14), (15, 21, 13), (16, 21, 12)),
+    defsome(f, p, o) AS (VALUES (16, 21, 12)),
+    classes(c) AS (VALUES (11), (12), (13), (14), (15), (16)),
+    spstar(sub, sup) AS (VALUES (21, 21)),
+    tc0(sub, sup) AS (
+      SELECT sub, sup FROM sc0
+      UNION
+      SELECT tc0.sub, sc0.sup FROM tc0 JOIN sc0 ON tc0.sup = sc0.sub
+    ),
+    star0 AS (SELECT sub, sup FROM tc0 UNION SELECT c, c FROM classes),
+    rel0 AS (
+      SELECT DISTINCT xs.sub AS s, sp.sup AS p, fo.sup AS o
+      FROM somet t
+      JOIN star0 xs ON t.s = xs.sup
+      JOIN spstar sp ON t.p = sp.sub
+      JOIN star0 fo ON t.f = fo.sub
+    ),
+    newsc AS (
+      SELECT DISTINCT r.s AS sub, d.f AS sup
+      FROM rel0 r JOIN defsome d ON r.p = d.p AND r.o = d.o
+      WHERE r.s <> d.f
+    ),
+    sc1(sub, sup) AS (SELECT sub, sup FROM sc0 UNION SELECT sub, sup FROM newsc),
+    tc1(sub, sup) AS (
+      SELECT sub, sup FROM sc1
+      UNION
+      SELECT tc1.sub, sc1.sup FROM tc1 JOIN sc1 ON tc1.sup = sc1.sub
+    ),
+    star1 AS (SELECT sub, sup FROM tc1 UNION SELECT c, c FROM classes),
+    rel1 AS (
+      SELECT DISTINCT xs.sub AS s, sp.sup AS p, fo.sup AS o
+      FROM somet t
+      JOIN star1 xs ON t.s = xs.sup
+      JOIN spstar sp ON t.p = sp.sub
+      JOIN star1 fo ON t.f = fo.sub
+    )
+    SELECT CAST(s AS INT) AS s, CAST(p AS INT) AS p, CAST(o AS INT) AS o FROM rel1
+    UNION ALL
+    SELECT CAST(sub AS INT), 3, CAST(sup AS INT) FROM tc1 WHERE sub <> sup
+"""
+
 _EN_STOP = "['the','and','of','to','a','in','is','it','for','on']"
 _ES_STOP = "['el','la','de','que','y','en','un','los','se','por']"
 _WORDS = "list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9]+'))"
@@ -491,6 +542,11 @@ _WORDS = "list_distinct(regexp_extract_all(lower(text), '[A-Za-z0-9]+'))"
 
 def oracle_sql() -> dict[str, str]:
     q = {}
+
+    q["rg_materialize_fixture"] = _FIXTURE_A_SQL
+    # exactly-once invariant: the 3-micro-batch stream over the same fixture
+    # must produce the identical edge set as the one-shot batch run
+    q["rg_incremental_stream"] = _FIXTURE_A_SQL
 
     q["rg_tc_orders_forest"] = """
         WITH RECURSIVE e AS (
