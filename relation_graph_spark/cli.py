@@ -8,19 +8,35 @@ Cluster launch (north rule):
     spark-submit --py-files relation_graph_spark.zip \\
         -m relation_graph_spark.cli batch \\
         --input /path/to/sequences_parquet --output /path/to/out \\
-        --mode RDF --output-subclasses --property 21 --property 42
+        --mode TSV --vocab /path/to/vocab.parquet --prefixes prefixes.yaml \\
+        --output-subclasses true --property 21 --property 42
 
 Subcommands:
-  batch   one-shot materialization: sequences parquet -> edge parquet (+
-          optional N-Triples / TSV presentation output)
+  batch   one-shot materialization: sequences parquet -> edge parquet, plus —
+          when --vocab is given — the presentation output selected by --mode
+          (N-Triples text for RDF/OWL, compacted TSV for TSV), mirroring the
+          reference's createStream routing (Main.scala:51-78)
   stream  incremental: watch an input dir, run the exactly-once micro-batch
           pipeline with checkpoint/resume
+
+Boolean options take explicit true/false values (the reference's BoolValue
+args, Config.scala:96-127), so defaults can be true (e.g.
+--reflexive-subclasses defaults true, pass `false` to disable).
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+
+
+def _parse_bool(v: str) -> bool:
+    lv = v.lower()
+    if lv in ("true", "1"):
+        return True
+    if lv in ("false", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected true|false|1|0, got {v!r}")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -30,22 +46,56 @@ def build_parser() -> argparse.ArgumentParser:
         p = sub.add_parser(name)
         p.add_argument("--input", required=True, help="sequences parquet path/dir")
         p.add_argument("--output", required=True, help="output dir")
-        p.add_argument("--mode", choices=["RDF", "OWL", "TSV"], default="RDF")
-        p.add_argument("--output-subclasses", action="store_true")
-        p.add_argument("--no-reflexive-subclasses", action="store_true")
-        p.add_argument("--equivalence-as-subclass", action="store_true")
-        p.add_argument("--output-individuals", action="store_true")
-        p.add_argument("--disable-owl-nothing", action="store_true")
+        p.add_argument(
+            "--mode",
+            type=lambda s: s.upper(),
+            choices=["RDF", "OWL", "TSV"],
+            default="RDF",
+        )
+        # reference defaults: Config.scala:10-52
+        p.add_argument("--output-subclasses", type=_parse_bool, default=False,
+                       metavar="true|false")
+        p.add_argument("--reflexive-subclasses", type=_parse_bool, default=True,
+                       metavar="true|false")
+        p.add_argument("--equivalence-as-subclass", type=_parse_bool, default=True,
+                       metavar="true|false")
+        p.add_argument("--output-classes", type=_parse_bool, default=True,
+                       metavar="true|false")
+        p.add_argument("--output-individuals", type=_parse_bool, default=False,
+                       metavar="true|false")
+        p.add_argument("--disable-owl-nothing", type=_parse_bool, default=False,
+                       metavar="true|false")
         p.add_argument("--property", type=int, action="append", default=None,
                        help="restrict to property token (repeatable)")
         p.add_argument("--properties-file", default=None,
                        help="file with one property token per line")
+        p.add_argument("--vocab", default=None,
+                       help="token->IRI vocabulary parquet (enables the "
+                            "RDF/OWL/TSV presentation output)")
+        p.add_argument("--prefixes", default=None,
+                       help="YAML prefix map for TSV compaction "
+                            "(reference Main.scala:90-97)")
+        p.add_argument("--obo-prefixes", type=_parse_bool, default=True,
+                       metavar="true|false",
+                       help="compact OBO-style IRIs regardless of prefix file")
         p.add_argument("--master", default=None)
         p.add_argument("--shuffle-partitions", type=int, default=None)
     sp = sub.choices["stream"]
     sp.add_argument("--watermark-seconds", type=int, default=3600)
     sp.add_argument("--max-files-per-trigger", type=int, default=1)
     return ap
+
+
+def read_prefixes_yaml(path: str) -> dict[str, str]:
+    """Flat YAML dictionary prefix -> namespace (reference readPrefixesFile,
+    Main.scala:90-97)."""
+    import yaml
+
+    with open(path) as fh:
+        data = yaml.safe_load(fh) or {}
+    if not isinstance(data, dict):
+        raise ValueError(f"prefixes file {path} must be a YAML dictionary")
+    return {str(k): str(v) for k, v in data.items()}
 
 
 def config_from_args(args) -> "RGConfig":
@@ -59,12 +109,32 @@ def config_from_args(args) -> "RGConfig":
     return RGConfig(
         mode=OutputMode(args.mode),
         output_subclasses=args.output_subclasses,
-        reflexive_subclasses=not args.no_reflexive_subclasses,
+        reflexive_subclasses=args.reflexive_subclasses,
         equivalence_as_subclass=args.equivalence_as_subclass,
+        output_classes=args.output_classes,
         output_individuals=args.output_individuals,
         disable_owl_nothing=args.disable_owl_nothing,
         properties=frozenset(props) if props else None,
     )
+
+
+def _write_presentation(spark, args, cfg, seq) -> None:
+    """Route the materialized edges through the presentation sink selected by
+    --mode (reference Main.scala:51-78): RDF/OWL -> N-Triples text, TSV ->
+    prefix-compacted TSV."""
+    from relation_graph_spark.config import OutputMode
+    from relation_graph_spark.materialize import materialize_presented
+    from relation_graph_spark.sinks import to_ntriples_file, to_tsv_file
+
+    vocab = spark.read.parquet(args.vocab)
+    prefixes = read_prefixes_yaml(args.prefixes) if args.prefixes else {}
+    presented = materialize_presented(
+        seq, cfg, vocab, prefixes=prefixes, obo_prefixes=args.obo_prefixes
+    )
+    if cfg.mode == OutputMode.TSV:
+        to_tsv_file(presented, f"{args.output}/triples_tsv")
+    else:
+        to_ntriples_file(presented, f"{args.output}/triples_nt")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -86,6 +156,14 @@ def main(argv: list[str] | None = None) -> int:
         seq = spark.read.parquet(args.input)
         edges = with_edge_hash(materialize(seq, cfg))
         edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+        if args.vocab:
+            _write_presentation(spark, args, cfg, seq)
+        elif cfg.mode.value != "RDF":
+            print(
+                f"note: --mode {cfg.mode.value} text output needs --vocab; "
+                "wrote token-edge parquet only",
+                file=sys.stderr,
+            )
         print(f"wrote {spark.read.parquet(f'{args.output}/edges').count()} edges")
     else:
         from relation_graph_spark.streaming.pipeline import IncrementalClosureJob

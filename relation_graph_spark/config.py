@@ -26,8 +26,9 @@ class RGConfig:
     # include C subClassOf C rows (reference reflexiveSubclasses, default true)
     reflexive_subclasses: bool = True
     # emit mutually-subsumed named pairs as two subclass rows (true) or one
-    # owl:equivalentClass row (false) (reference equivalenceAsSubclass)
-    equivalence_as_subclass: bool = False
+    # owl:equivalentClass row (false) (reference equivalenceAsSubclass,
+    # default TRUE: Config.scala:34 / RelationGraph.scala:38)
+    equivalence_as_subclass: bool = True
     output_classes: bool = True
     output_individuals: bool = False
     # suppress owl:Nothing handling entirely (reference disableOwlNothing)

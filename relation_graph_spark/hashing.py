@@ -29,11 +29,14 @@ def with_edge_hash(edges: DataFrame) -> DataFrame:
     ).withColumn("edge_hash", edge_hash_col(F.col("s"), F.col("p"), F.col("o")))
 
 
-def to_iris(edges: DataFrame, vocab: DataFrame) -> DataFrame:
+def to_iris(
+    edges: DataFrame, vocab: DataFrame, keep: list[str] | None = None
+) -> DataFrame:
     """Token triples -> IRI triples via three broadcast dictionary joins.
 
     The reference crosses this boundary per-triple with NodeFactory.createURI
     (RelationGraph.scala:141-142); we do it once, at the presentation edge.
+    `keep` names extra columns to carry through unchanged.
     """
     v = F.broadcast(vocab.select("token", "iri"))
     out = edges
@@ -42,16 +45,24 @@ def to_iris(edges: DataFrame, vocab: DataFrame) -> DataFrame:
             out.join(v.withColumnRenamed("token", c).withColumnRenamed("iri", f"{c}_iri"), on=c, how="left")
         )
     return out.select(
-        F.col("s_iri").alias("s"), F.col("p_iri").alias("p"), F.col("o_iri").alias("o")
+        F.col("s_iri").alias("s"),
+        F.col("p_iri").alias("p"),
+        F.col("o_iri").alias("o"),
+        *[F.col(c) for c in (keep or [])],
     )
+
+
+def _nt_term(c: Column) -> Column:
+    """N-Triples term: blank nodes stay bare (`_:label`), IRIs get <>."""
+    return F.when(c.startswith("_:"), c).otherwise(F.concat(F.lit("<"), c, F.lit(">")))
 
 
 def to_ntriples(iri_edges: DataFrame) -> DataFrame:
     """IRI triples -> one N-Triples line per row (sink S5)."""
     return iri_edges.select(
-        F.format_string("<%s> <%s> <%s> .", F.col("s"), F.col("p"), F.col("o")).alias(
-            "line"
-        )
+        F.concat_ws(
+            " ", _nt_term(F.col("s")), _nt_term(F.col("p")), _nt_term(F.col("o")), F.lit(".")
+        ).alias("line")
     )
 
 
@@ -67,12 +78,22 @@ def reify_owl(edges: DataFrame, vocab: DataFrame) -> DataFrame:
         _:b owl:onProperty p
         _:b owl:someValuesFrom o
 
-    Taxonomy edges (p = SUBCLASSOF/EQUIVALENTCLASS) pass through unreified,
-    as in the reference (RelationGraph.scala:143-154).
+    Taxonomy edges (p = SUBCLASSOF/EQUIVALENTCLASS/RDF_TYPE) pass through
+    unreified, as in the reference (RelationGraph.scala:143-154). If `edges`
+    carries a `kind` column, individual-subject existential edges link to
+    their restriction bnode via rdf:type instead of rdfs:subClassOf
+    (owlTriples(..., RDFType), RelationGraph.scala:149-153).
     """
-    iri = to_iris(edges, vocab).withColumn(
+    has_kind = "kind" in edges.columns
+    iri = to_iris(edges, vocab, keep=["kind"] if has_kind else None).withColumn(
         "bnode",
         F.concat(F.lit("_:"), F.translate(edge_hash_col(F.col("s"), F.col("p"), F.col("o")), "+/=", "")),
+    )
+    link_pred = (
+        F.when(F.col("kind") == "individual", F.lit(T.RESERVED_IRIS[T.RDF_TYPE]))
+        .otherwise(F.lit(T.RESERVED_IRIS[T.SUBCLASSOF]))
+        if has_kind
+        else F.lit(T.RESERVED_IRIS[T.SUBCLASSOF])
     )
     taxo_preds = [
         T.RESERVED_IRIS[T.SUBCLASSOF],
@@ -86,7 +107,7 @@ def reify_owl(edges: DataFrame, vocab: DataFrame) -> DataFrame:
             F.array(
                 F.struct(
                     F.col("s").alias("s"),
-                    F.lit(T.RESERVED_IRIS[T.SUBCLASSOF]).alias("p"),
+                    link_pred.alias("p"),
                     F.col("bnode").alias("o"),
                 ),
                 F.struct(

@@ -81,19 +81,14 @@ def initial_state(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, DataFr
 
 def output_frames(state: dict[str, DataFrame], cfg: RGConfig) -> dict[str, DataFrame]:
     """Reconstruct the frame dict assemble_output expects from a state."""
+    from relation_graph_spark.materialize import compute_unsat
+
     sc_star = _sc_star_of(state["sc_tc"], state["classes"])
-    if cfg.disable_owl_nothing:
-        unsat = sc_star.where(F.lit(False)).select(F.col("sub").alias("c"))
-    else:
-        unsat = (
-            sc_star.where(F.col("sup") == T.BOT)
-            .select(F.col("sub").alias("c"))
-            .dropDuplicates()
-        )
     return {
         "rel": state["rel"],
         "sc_closure": state["sc_tc"],
-        "unsat": unsat,
+        "sc_star": sc_star,
+        "unsat": compute_unsat(sc_star, state["some"], cfg),
         "classes": state["classes"],
         "assertions": state["assertions"],
     }

@@ -240,14 +240,7 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
             f"R4 feedback loop did not converge in {cfg.max_iterations} rounds"
         )
 
-    # Unsatisfiable classes: anything told to be under owl:Nothing
-    # (reference RelationGraph.scala:213-215 suppresses their output).
-    if cfg.disable_owl_nothing:
-        unsat = sc_star.where(F.lit(False)).select(F.col("sub").alias("c"))
-    else:
-        unsat = sc_star.where(F.col("sup") == T.BOT).select(
-            F.col("sub").alias("c")
-        ).dropDuplicates()
+    unsat = compute_unsat(sc_star, some, cfg)
 
     # the loop's final TC already closes the post-R4 subclass graph — no
     # extra closure pass needed
@@ -257,13 +250,58 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
         "sc_closure": sc_closure,
         "sc_star": sc_star,
         "sp_star": sp_star,
-        "unsat": unsat.localCheckpoint(),
+        "unsat": unsat,
+        "some": some,
         "classes": classes,
         "assertions": told["assertions"],
         # told subclass edges including R4-derived feedback facts — the
         # incremental engine's state seed
         "sc_final": sc,
     }
+
+
+def compute_unsat(sc_star: DataFrame, some: DataFrame, cfg: RGConfig) -> DataFrame:
+    """Unsatisfiable classes under the EL bottom rules (whelk's disableBottom
+    semantics, reference RelationGraph.scala:57):
+
+        c unsat <- c subClassOf* owl:Nothing
+        x unsat <- x subClassOf* s, some(s, p, f), f unsat   (bottom-filler)
+
+    The second rule iterates (an unsat filler can make a subject unsat whose
+    own fillers sit elsewhere); unsat is class-domain-sized, so every
+    iteration is one broadcast semi-join pass over the told existentials —
+    no fact-table shuffle."""
+    if cfg.disable_owl_nothing:
+        return (
+            sc_star.where(F.lit(False)).select(F.col("sub").alias("c")).localCheckpoint()
+        )
+    unsat = (
+        sc_star.where(F.col("sup") == T.BOT)
+        .select(F.col("sub").alias("c"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    for _ in range(cfg.max_iterations):
+        bad_subjects = (
+            some.join(F.broadcast(unsat), some["f"] == unsat["c"], "left_semi")
+            .select(F.col("s").alias("bad_s"))
+            .dropDuplicates()
+        )
+        new = (
+            sc_star.join(
+                F.broadcast(bad_subjects),
+                sc_star["sup"] == F.col("bad_s"),
+                "left_semi",
+            )
+            .select(F.col("sub").alias("c"))
+            .dropDuplicates()
+            .join(unsat, on="c", how="left_anti")
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            return unsat
+        unsat = unsat.unionByName(new).localCheckpoint()
+    raise FixpointDidNotConverge("bottom-rule unsat fixpoint did not converge")
 
 
 def _not_builtin(col: str):
@@ -287,50 +325,76 @@ def materialize(seq_df: DataFrame, cfg: RGConfig | None = None) -> DataFrame:
     return assemble_output(m, cfg)
 
 
-def assemble_output(m: dict[str, DataFrame], cfg: RGConfig) -> DataFrame:
+def assemble_output(
+    m: dict[str, DataFrame], cfg: RGConfig, with_kind: bool = False
+) -> DataFrame:
     """Apply the output-config gates (P1-P7) to the fixpoint frames — one
     linear pass, no joins beyond broadcast anti-joins; shared by the batch
-    entry point and the incremental streaming engine."""
-    unsat = F.broadcast(m["unsat"])
-    rel = (
-        m["rel"]
-        .where(_not_builtin("s") & _not_builtin("o") & _not_builtin("p"))
-        .join(unsat, m["rel"]["s"] == unsat["c"], "left_anti")
-    )
-    if cfg.properties is not None:
-        rel = rel.where(F.col("p").isin(*[int(t) for t in cfg.properties]) if cfg.properties else F.lit(False))
+    entry point and the incremental streaming engine.
 
+    Unsatisfiability follows the reference exactly: rows whose OBJECT class
+    is unsatisfiable are suppressed (processSubclasses emits nothing for an
+    unsat superclass, RelationGraph.scala:213-215; restriction traversal
+    never visits unsat fillers), while unsat SUBJECTS still appear under
+    their satisfiable ancestors (they are in closureSubsBySuperclass of any
+    told ancestor, which the reference emits verbatim).
+
+    with_kind=True adds a `kind` column ('class' | 'individual') so the
+    OWL-mode sink can reify individual-subject edges via rdf:type
+    (owlTriples(..., RDFType), reference RelationGraph.scala:149-153).
+    """
+    unsat = F.broadcast(m["unsat"])
+
+    def _object_sat(df: DataFrame, obj_col: str) -> DataFrame:
+        return df.join(unsat, df[obj_col] == unsat["c"], "left_anti")
+
+    rel = _object_sat(
+        m["rel"].where(_not_builtin("s") & _not_builtin("o") & _not_builtin("p")), "o"
+    )
+
+    def _prop_filter(df: DataFrame) -> DataFrame:
+        if cfg.properties is None:
+            return df
+        return df.where(
+            F.col("p").isin(*[int(t) for t in cfg.properties])
+            if cfg.properties
+            else F.lit(False)
+        )
+
+    rel = _prop_filter(rel)
     out = rel if cfg.output_classes else rel.where(F.lit(False))
+    out = out.withColumn("kind", F.lit("class"))
 
     if cfg.output_individuals:
+        # ind : C and C subClassOf (p some O)  =>  ind p O
+        # (processRestriction instances, RelationGraph.scala:147-153)
         ind = (
             m["assertions"]
             .alias("a")
-            .join(m["rel"].alias("r"), F.col("a.c") == F.col("r.s"))
+            .join(rel.alias("r"), F.col("a.c") == F.col("r.s"))
             .select(
-                F.col("a.ind").alias("s"), F.col("r.p").alias("p"), F.col("r.o").alias("o")
+                F.col("a.ind").alias("s"),
+                F.col("r.p").alias("p"),
+                F.col("r.o").alias("o"),
             )
-            .where(_not_builtin("o") & _not_builtin("p"))
             .dropDuplicates()
+            .withColumn("kind", F.lit("individual"))
         )
-        if cfg.properties is not None:
-            ind = ind.where(F.col("p").isin(*[int(t) for t in cfg.properties]) if cfg.properties else F.lit(False))
         out = out.unionByName(ind).dropDuplicates()
 
     if cfg.output_subclasses:
         scc = m["sc_closure"].where(
             _not_builtin("sub") & _not_builtin("sup") & (F.col("sub") != F.col("sup"))
         )
-        scc = scc.join(unsat, scc["sub"] == unsat["c"], "left_anti")
+        scc = _object_sat(scc, "sup")
         if cfg.equivalence_as_subclass:
+            # mutual pairs stay as two reciprocal subClassOf rows
             sub_rows = scc.select(
                 F.col("sub").alias("s"),
                 F.lit(T.SUBCLASSOF).cast("int").alias("p"),
                 F.col("sup").alias("o"),
             )
-            eq_rows = scc.where(F.lit(False)).select(
-                F.col("sub").alias("s"), F.lit(T.EQUIVALENTCLASS).alias("p"), F.col("sup").alias("o")
-            )
+            eq_rows = sub_rows.where(F.lit(False))
         else:
             mutual = scc.alias("a").join(
                 scc.alias("b"),
@@ -347,8 +411,16 @@ def assemble_output(m: dict[str, DataFrame], cfg: RGConfig) -> DataFrame:
                 F.lit(T.EQUIVALENTCLASS).cast("int").alias("p"),
                 F.col("sup").alias("o"),
             )
-        out = out.unionByName(sub_rows).unionByName(eq_rows)
+        out = out.unionByName(sub_rows.withColumn("kind", F.lit("class"))).unionByName(
+            eq_rows.withColumn("kind", F.lit("class"))
+        )
         if cfg.reflexive_subclasses:
+            # reflexive rows follow equivalenceAsSubclass: C subClassOf C
+            # when true, C owl:equivalentClass C when false (adjustedEquivs
+            # includes the concept itself, RelationGraph.scala:217-225)
+            refl_pred = (
+                T.SUBCLASSOF if cfg.equivalence_as_subclass else T.EQUIVALENTCLASS
+            )
             refl = (
                 m["classes"]
                 .where(_not_builtin("c"))
@@ -359,22 +431,45 @@ def assemble_output(m: dict[str, DataFrame], cfg: RGConfig) -> DataFrame:
                 )
                 .select(
                     F.col("c").alias("s"),
-                    F.lit(T.SUBCLASSOF).cast("int").alias("p"),
+                    F.lit(refl_pred).cast("int").alias("p"),
                     F.col("c").alias("o"),
+                    F.lit("class").alias("kind"),
                 )
             )
             out = out.unionByName(refl)
+        if cfg.output_individuals:
+            # ind : C and C subClassOf* O  =>  ind rdf:type O (reference
+            # processSubclasses individualsTriples, RelationGraph.scala:206-210;
+            # NOT gated on O's satisfiability — the reference computes these
+            # before its unsat check)
+            ityped = (
+                m["assertions"]
+                .alias("a")
+                .join(m["sc_star"].alias("h"), F.col("a.c") == F.col("h.sub"))
+                .select(
+                    F.col("a.ind").alias("s"),
+                    F.lit(T.RDF_TYPE).cast("int").alias("p"),
+                    F.col("h.sup").alias("o"),
+                )
+                .where(_not_builtin("o"))
+                .dropDuplicates()
+                .withColumn("kind", F.lit("individual"))
+            )
+            out = out.unionByName(ityped)
 
     # no global dropDuplicates: every unioned component is internally
     # distinct, and the components are pairwise disjoint (existential rows
-    # carry property tokens >= FIRST_ENTITY_TOKEN; taxonomy rows carry the
-    # reserved SUBCLASSOF/EQUIVALENTCLASS predicates; reflexive rows have
-    # s == o while sc_closure rows were filtered to s != o).
-    return out.select(
+    # carry property tokens >= FIRST_ENTITY_TOKEN; taxonomy/type rows carry
+    # the reserved SUBCLASSOF/EQUIVALENTCLASS/RDF_TYPE predicates; reflexive
+    # rows have s == o while sc_closure rows were filtered to s != o).
+    cols = [
         F.col("s").cast("int").alias("s"),
         F.col("p").cast("int").alias("p"),
         F.col("o").cast("int").alias("o"),
-    )
+    ]
+    if with_kind:
+        cols.append(F.col("kind"))
+    return out.select(*cols)
 
 
 def existential_subclasses(
@@ -397,6 +492,7 @@ def materialize_presented(
     cfg: RGConfig,
     vocab: DataFrame,
     prefixes: dict[str, str] | None = None,
+    obo_prefixes: bool = True,
 ) -> DataFrame:
     """materialize + the presentation edge selected by cfg.mode (the full
     reference CLI behavior, Main.scala:51-78):
@@ -409,10 +505,14 @@ def materialize_presented(
     from relation_graph_spark.hashing import reify_owl, to_iris
     from relation_graph_spark.prefix import compact_triples
 
-    edges = materialize(seq_df, cfg)
     if cfg.mode == OutputMode.OWL:
+        # kind column distinguishes individual-subject edges, which reify
+        # via rdf:type instead of rdfs:subClassOf (RelationGraph.scala:149)
+        told = told_tables(decode_axioms(seq_df))
+        edges = assemble_output(materialize_edges(told, cfg), cfg, with_kind=True)
         return reify_owl(edges, vocab)
+    edges = materialize(seq_df, cfg)
     iri = to_iris(edges, vocab)
     if cfg.mode == OutputMode.TSV:
-        return compact_triples(iri, prefixes or {})
+        return compact_triples(iri, prefixes or {}, obo_prefixes)
     return iri

@@ -16,23 +16,34 @@ from pyspark.sql import Column, DataFrame
 OBO_RE = "^http://purl\\.obolibrary\\.org/obo/([^_]+)_(.+)$"
 
 
-def compact_iri(iri: Column, prefixes: dict[str, str]) -> Column:
+def compact_iri(
+    iri: Column, prefixes: dict[str, str], obo_prefixes: bool = True
+) -> Column:
     """IRI -> 'prefix:local' via the longest matching namespace, else the OBO
-    fallback, else the IRI unchanged."""
+    fallback (when obo_prefixes, reference Config.scala:48-50), else the IRI
+    unchanged."""
     expr = None
     # longest-first: ties broken by prefix name for determinism
     for pfx, ns in sorted(prefixes.items(), key=lambda kv: (-len(kv[1]), kv[0])):
         cond = iri.startswith(ns)
         val = F.concat(F.lit(pfx + ":"), F.substring(iri, len(ns) + 1, 1 << 20))
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-    obo = F.regexp_replace(iri, OBO_RE, "$1:$2")
-    fallback = F.when(iri.rlike(OBO_RE), obo).otherwise(iri)
+    if obo_prefixes:
+        obo = F.regexp_replace(iri, OBO_RE, "$1:$2")
+        fallback = F.when(iri.rlike(OBO_RE), obo).otherwise(iri)
+    else:
+        fallback = iri
     return expr.otherwise(fallback) if expr is not None else fallback
 
 
-def compact_triples(iri_edges: DataFrame, prefixes: dict[str, str]) -> DataFrame:
+def compact_triples(
+    iri_edges: DataFrame, prefixes: dict[str, str], obo_prefixes: bool = True
+) -> DataFrame:
     """(s, p, o) IRI frame -> compacted columns (the TSV sink's row shape,
     reference TSVStreamRDF.scala:21-26)."""
     return iri_edges.select(
-        *[compact_iri(F.col(c), prefixes).alias(c) for c in ("s", "p", "o")]
+        *[
+            compact_iri(F.col(c), prefixes, obo_prefixes).alias(c)
+            for c in ("s", "p", "o")
+        ]
     )

@@ -1,7 +1,9 @@
 """Sinks.
 
 - to_ntriples_file / to_tsv_file: batch presentation sinks (reference S5/S6).
-- IdempotentParquetSink: the exactly-once sink (S7, new per north rule).
+- EdgeSink: the exactly-once sink interface (S7, new per north rule).
+- IdempotentParquetSink: parquet + manifest binding (offline Iceberg analog).
+- InMemoryEdgeSink: driver-memory binding proving the interface seam.
 
 The reference only ever overwrites one output file (Main.scala:60-78); its
 only idempotency device is deterministic content-hash blank-node ids
@@ -9,18 +11,26 @@ only idempotency device is deterministic content-hash blank-node ids
 commit protocol: Iceberg-style manifest commits over parquet, since no
 Iceberg runtime jar ships in this sandbox (SURVEY.md section 7.2 calls for a
 sink interface with an Iceberg MERGE INTO implementation when the runtime is
-present; this class is the offline implementation of that interface).
+present; IdempotentParquetSink is the offline implementation and an Iceberg
+binding is a drop-in third class behind the same protocol).
 
 Protocol (exactly-once under micro-batch replay):
-  1. each micro-batch writes its rows to  <root>/data/batch=<id>/   (overwrite
-     mode — a replayed batch rewrites byte-identical content because every
-     row carries a deterministic edge_hash and the upstream computation is
-     deterministic);
+  1. each micro-batch writes its rows to  <root>/data/batch=<id>/  and —
+     when the batch retracts previously-committed rows (late
+     unsatisfiability, late mutual subsumption) — tombstone keys to
+     <root>/tombstones/batch=<id>/   (both overwrite mode: a replayed batch
+     rewrites byte-identical content because every row carries a
+     deterministic edge_hash and the upstream computation is deterministic);
   2. the batch is COMMITTED by atomically renaming a manifest JSON into
      <root>/manifest/<id>.json carrying row counts + metrics;
-  3. readers union only data dirs named in the manifest — a crash between
-     data-write and manifest-write leaves an invisible orphan that the replay
-     overwrites.
+  3. readers union only data dirs named in manifests and anti-join the
+     committed tombstone keys — a crash between data-write and
+     manifest-write leaves an invisible orphan that the replay overwrites.
+
+Tombstones are the Iceberg delete-file analog: retraction events are rare
+(a class turning unsatisfiable, a late reverse subsumption), so the
+tombstone set stays vocabulary-sized and the read-side anti-join is a
+broadcast — never a history-sized shuffle.
 """
 
 from __future__ import annotations
@@ -28,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from typing import Protocol
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -45,11 +56,46 @@ def to_tsv_file(compacted: DataFrame, path: str) -> None:
     compacted.write.mode("overwrite").option("sep", "\t").csv(path)
 
 
+class EdgeSink(Protocol):
+    """Exactly-once, retractable edge sink (S7).
+
+    Implementations: IdempotentParquetSink (parquet+manifest, offline),
+    InMemoryEdgeSink (tests), and — where a runtime jar exists — an Iceberg
+    binding (append = MERGE INTO keyed by edge_hash; retract = positional /
+    equality delete files; manifest = Iceberg snapshot)."""
+
+    def is_committed(self, batch_id: int) -> bool: ...
+
+    def committed_batches(self) -> list[int]: ...
+
+    def append(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        tombstones: DataFrame | None = None,
+        extra_metrics: dict | None = None,
+    ) -> dict: ...
+
+    def append_new_only(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        key: str = "edge_hash",
+        tombstones: DataFrame | None = None,
+        extra_metrics: dict | None = None,
+    ) -> dict: ...
+
+    def read(self) -> DataFrame | None: ...
+
+    def metrics(self) -> list[dict]: ...
+
+
 class IdempotentParquetSink:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self.data_dir = os.path.join(root, "data")
+        self.tombstone_dir = os.path.join(root, "tombstones")
         self.manifest_dir = os.path.join(root, "manifest")
         os.makedirs(self.manifest_dir, exist_ok=True)
 
@@ -72,25 +118,63 @@ class IdempotentParquetSink:
         return out
 
     # -- read ---------------------------------------------------------------
+    def _tombstones(self) -> DataFrame | None:
+        paths = [
+            os.path.join(self.tombstone_dir, f"batch={b}")
+            for b in self.committed_batches()
+            if os.path.isdir(os.path.join(self.tombstone_dir, f"batch={b}"))
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths).select("edge_hash").dropDuplicates()
+
     def read(self) -> DataFrame | None:
-        """Union of committed batch dirs only (orphans are invisible)."""
+        """Union of committed batch dirs minus committed tombstones (orphans
+        of either kind are invisible)."""
         batches = self.committed_batches()
         if not batches:
             return None
         paths = [os.path.join(self.data_dir, f"batch={b}") for b in batches]
-        return self.spark.read.parquet(*paths)
+        df = self.spark.read.parquet(*paths)
+        ts = self._tombstones()
+        if ts is not None:
+            df = df.join(F.broadcast(ts), on="edge_hash", how="left_anti")
+        return df
 
     # -- write --------------------------------------------------------------
-    def append(self, df: DataFrame, batch_id: int, extra_metrics: dict | None = None) -> dict:
-        """Exactly-once append: skip if committed; else overwrite data dir,
-        then atomically publish the manifest."""
+    def append(
+        self,
+        df: DataFrame,
+        batch_id: int,
+        tombstones: DataFrame | None = None,
+        extra_metrics: dict | None = None,
+    ) -> dict:
+        """Exactly-once append (+ optional retraction): skip if committed;
+        else overwrite data (and tombstone) dirs, then atomically publish the
+        manifest."""
         if self.is_committed(batch_id):
             with open(os.path.join(self.manifest_dir, f"{batch_id}.json")) as fh:
                 return json.load(fh)
         path = os.path.join(self.data_dir, f"batch={batch_id}")
         df.write.mode("overwrite").parquet(path)
+        n_tomb = 0
+        if tombstones is not None:
+            tdf = tombstones.select("edge_hash").dropDuplicates()
+            tpath = os.path.join(self.tombstone_dir, f"batch={batch_id}")
+            tdf.write.mode("overwrite").parquet(tpath)
+            n_tomb = self.spark.read.parquet(tpath).count()
+            if n_tomb == 0:
+                # keep reads cheap: no empty tombstone dirs
+                import shutil
+
+                shutil.rmtree(tpath, ignore_errors=True)
         n_rows = self.spark.read.parquet(path).count()
-        manifest = {"batch_id": batch_id, "n_rows": n_rows, **(extra_metrics or {})}
+        manifest = {
+            "batch_id": batch_id,
+            "n_rows": n_rows,
+            "n_tombstones": n_tomb,
+            **(extra_metrics or {}),
+        }
         fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh)
@@ -102,11 +186,76 @@ class IdempotentParquetSink:
         df: DataFrame,
         batch_id: int,
         key: str = "edge_hash",
+        tombstones: DataFrame | None = None,
         extra_metrics: dict | None = None,
     ) -> dict:
         """MERGE-style append: drop rows whose `key` already exists in any
-        committed batch (the left_anti pre-commit dedup of SURVEY.md S7)."""
+        committed batch (the left_anti pre-commit dedup of SURVEY.md S7).
+
+        This is the O(committed-history) fallback used when the incremental
+        engine cannot produce a delta (equivalence feedback); the fast path
+        appends pre-computed deltas via `append` with no history join."""
         existing = self.read()
         if existing is not None:
             df = df.join(existing.select(key).dropDuplicates(), on=key, how="left_anti")
-        return self.append(df, batch_id, extra_metrics)
+        return self.append(df, batch_id, tombstones=tombstones, extra_metrics=extra_metrics)
+
+
+class InMemoryEdgeSink:
+    """Driver-memory EdgeSink binding — proves the interface seam that an
+    Iceberg MERGE binding drops into (VERDICT round-1 item 9). Test-only."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._data: dict[int, list] = {}
+        self._tombs: dict[int, set[str]] = {}
+        self._manifests: dict[int, dict] = {}
+        self._schema = None
+
+    def committed_batches(self) -> list[int]:
+        return sorted(self._manifests)
+
+    def is_committed(self, batch_id: int) -> bool:
+        return batch_id in self._manifests
+
+    def metrics(self) -> list[dict]:
+        return [self._manifests[b] for b in self.committed_batches()]
+
+    def append(self, df, batch_id, tombstones=None, extra_metrics=None):
+        if self.is_committed(batch_id):
+            return self._manifests[batch_id]
+        rows = df.collect()
+        self._schema = df.schema
+        tombs = (
+            {r["edge_hash"] for r in tombstones.select("edge_hash").collect()}
+            if tombstones is not None
+            else set()
+        )
+        self._data[batch_id] = rows
+        self._tombs[batch_id] = tombs
+        m = {
+            "batch_id": batch_id,
+            "n_rows": len(rows),
+            "n_tombstones": len(tombs),
+            **(extra_metrics or {}),
+        }
+        self._manifests[batch_id] = m
+        return m
+
+    def append_new_only(self, df, batch_id, key="edge_hash", tombstones=None, extra_metrics=None):
+        existing = self.read()
+        if existing is not None:
+            df = df.join(existing.select(key).dropDuplicates(), on=key, how="left_anti")
+        return self.append(df, batch_id, tombstones=tombstones, extra_metrics=extra_metrics)
+
+    def read(self):
+        if not self._data:
+            return None
+        all_tombs = set().union(*self._tombs.values()) if self._tombs else set()
+        rows = [
+            r
+            for b in self.committed_batches()
+            for r in self._data[b]
+            if r["edge_hash"] not in all_tombs
+        ]
+        return self.spark.createDataFrame(rows, self._schema)

@@ -1,11 +1,23 @@
 """Pure-Python reference implementation of the R1-R4 semantics (SURVEY.md
 7.0) — an independent oracle for randomized testing. Deliberately naive
-(set fixpoints), no Spark, no SQL."""
+(set fixpoints), no Spark, no SQL.
+
+Output semantics mirror the reference (RelationGraph.scala processSubclasses
+/ processRestriction):
+- unsatisfiability: c unsat if c ⊑* Nothing, plus the EL bottom rule
+  (x ⊑* s, some(s,p,f), f unsat => x unsat), iterated;
+- rows whose OBJECT class is unsat are suppressed; unsat SUBJECTS are kept;
+- equivalence_as_subclass=True (reference default): mutual pairs emit two
+  subClassOf rows; False: owl:equivalentClass rows instead, and reflexive
+  rows also use owl:equivalentClass (adjustedEquivs includes the concept).
+"""
 
 from relation_graph_spark import tokens as T
 
 
-def materialize_py(rows, output_subclasses=True, reflexive=False):
+def materialize_py(
+    rows, output_subclasses=True, reflexive=False, equivalence_as_subclass=True
+):
     sc, some, def_some, sp = set(), set(), set(), set()
     classes, props = set(), set()
     for r in rows:
@@ -58,26 +70,39 @@ def materialize_py(rows, output_subclasses=True, reflexive=False):
             break
         sc |= new_sc
 
+    # EL bottom rules: told-Nothing paths seed, then filler-unsat propagates
     unsat = {x for (x, y) in sc_star if y == T.BOT}
+    while True:
+        bad_subjects = {s for (s, p, f) in some if f in unsat}
+        new = {x for (x, y) in sc_star if y in bad_subjects} - unsat
+        if not new:
+            break
+        unsat |= new
+
     builtin = {T.TOP, T.BOT}
+    # object-side unsat suppression; unsat subjects kept (reference parity)
     out = {
         (s, p, o)
         for (s, p, o) in rel
         if s not in builtin and o not in builtin and p not in builtin
-        and s not in unsat
+        and o not in unsat
     }
     if output_subclasses:
         pairs = {
             (a, b)
             for (a, b) in sc_tc
-            if a != b and a not in builtin and b not in builtin and a not in unsat
+            if a != b and a not in builtin and b not in builtin and b not in unsat
         }
-        mutual = {(a, b) for (a, b) in pairs if (b, a) in pairs}
-        out |= {(a, T.SUBCLASSOF, b) for (a, b) in pairs - mutual}
-        out |= {(a, T.EQUIVALENTCLASS, b) for (a, b) in mutual}
+        if equivalence_as_subclass:
+            out |= {(a, T.SUBCLASSOF, b) for (a, b) in pairs}
+        else:
+            mutual = {(a, b) for (a, b) in pairs if (b, a) in pairs}
+            out |= {(a, T.SUBCLASSOF, b) for (a, b) in pairs - mutual}
+            out |= {(a, T.EQUIVALENTCLASS, b) for (a, b) in mutual}
         if reflexive:
+            refl_pred = T.SUBCLASSOF if equivalence_as_subclass else T.EQUIVALENTCLASS
             out |= {
-                (c, T.SUBCLASSOF, c)
+                (c, refl_pred, c)
                 for c in classes
                 if c not in builtin and c not in unsat
             }

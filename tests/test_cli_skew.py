@@ -31,12 +31,17 @@ def test_cli_batch_roundtrip(spark, tmp_path):
     pf = tmp_path / "props.txt"
     pf.write_text("21\n\n  \n9999\n")
     args = build_parser().parse_args(
-        ["batch", "--input", "x", "--output", "y", "--output-subclasses",
+        ["batch", "--input", "x", "--output", "y", "--output-subclasses", "true",
          "--properties-file", str(pf), "--property", "42"]
     )
     cfg = config_from_args(args)
     assert cfg.properties == frozenset({21, 42, 9999})
     assert cfg.output_subclasses and cfg.reflexive_subclasses
+    # defaults mirror the reference's BoolValue defaults (Config.scala:10-52)
+    dargs = build_parser().parse_args(["batch", "--input", "x", "--output", "y"])
+    dcfg = config_from_args(dargs)
+    assert not dcfg.output_subclasses and dcfg.equivalence_as_subclass
+    assert dcfg.reflexive_subclasses and not dcfg.output_individuals
 
 
 def test_cli_batch_end_to_end(spark, tmp_path):
@@ -47,11 +52,80 @@ def test_cli_batch_end_to_end(spark, tmp_path):
     FX.materialize_test(spark).write.parquet(inp)
     out = str(tmp_path / "out")
     rc = cli.main(
-        ["batch", "--input", inp, "--output", out, "--output-subclasses",
-         "--no-reflexive-subclasses", "--master", "local[4]"]
+        ["batch", "--input", inp, "--output", out, "--output-subclasses", "true",
+         "--reflexive-subclasses", "false", "--master", "local[4]"]
     )
     assert rc == 0
     edges = spark.read.parquet(f"{out}/edges")
     got = {(r.s, r.p, r.o) for r in edges.select("s", "p", "o").collect()}
     assert got == FX.GOLDEN_A_EXISTENTIAL | FX.GOLDEN_A_SUBCLASS
     assert edges.select("edge_hash").distinct().count() == len(got)
+
+
+def _write_fixture_inputs(spark, tmp_path):
+    inp = str(tmp_path / "seq")
+    FX.materialize_test(spark).write.parquet(inp)
+    voc = str(tmp_path / "vocab")
+    FX.materialize_test_vocab(spark).write.parquet(voc)
+    return inp, voc
+
+
+def test_cli_presentation_ntriples(spark, tmp_path):
+    """--mode RDF --vocab writes N-Triples lines (reference Main.scala:62-70)."""
+    from relation_graph_spark import cli
+
+    inp, voc = _write_fixture_inputs(spark, tmp_path)
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["batch", "--input", inp, "--output", out, "--vocab", voc,
+         "--master", "local[4]"]
+    )
+    assert rc == 0
+    lines = set(spark.read.text(f"{out}/triples_nt").toPandas()["value"])
+    assert (
+        "<http://example.org/test#A> <http://example.org/test#p> "
+        "<http://example.org/test#D> ." in lines
+    )
+    assert len(lines) == len(FX.GOLDEN_A_EXISTENTIAL)
+
+
+def test_cli_presentation_tsv_with_prefixes_yaml(spark, tmp_path):
+    """--mode TSV --prefixes YAML + --obo-prefixes routing
+    (reference Main.scala:54-59, 90-97)."""
+    from relation_graph_spark import cli
+
+    inp, voc = _write_fixture_inputs(spark, tmp_path)
+    yml = tmp_path / "prefixes.yaml"
+    yml.write_text("ex: 'http://example.org/test#'\n")
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["batch", "--input", inp, "--output", out, "--vocab", voc,
+         "--mode", "TSV", "--prefixes", str(yml), "--master", "local[4]"]
+    )
+    assert rc == 0
+    import glob
+
+    rows = set()
+    for f in glob.glob(f"{out}/triples_tsv/*.csv"):
+        with open(f) as fh:
+            rows |= {tuple(line.rstrip("\n").split("\t")) for line in fh if line.strip()}
+    assert ("ex:A", "ex:p", "ex:D") in rows
+    assert len(rows) == len(FX.GOLDEN_A_EXISTENTIAL)
+
+
+def test_cli_presentation_owl_mode(spark, tmp_path):
+    """--mode OWL --vocab writes reified N-Triples incl. the ontology header
+    (reference RelationGraph.scala:63-64, owlTriples)."""
+    from relation_graph_spark import cli
+
+    inp, voc = _write_fixture_inputs(spark, tmp_path)
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["batch", "--input", inp, "--output", out, "--vocab", voc,
+         "--mode", "OWL", "--master", "local[4]"]
+    )
+    assert rc == 0
+    lines = set(spark.read.text(f"{out}/triples_nt").toPandas()["value"])
+    assert any("owl#Ontology" in ln for ln in lines)
+    # 1 header + 8 existential edges x 4 reified triples
+    assert len(lines) == 1 + 8 * 4

@@ -118,7 +118,9 @@ def test_named_equivalence_cycles(spark):
         [T.AX_SUBCLASS, 53, 51],
     ]
     df = FX._rows_to_df(spark, rows, "equiv_test")
-    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    cfg = RGConfig(
+        output_subclasses=True, reflexive_subclasses=False, equivalence_as_subclass=False
+    )
     out = triples(materialize(df, cfg))
     assert out == {
         (51, T.EQUIVALENTCLASS, 52),
@@ -128,21 +130,85 @@ def test_named_equivalence_cycles(spark):
     }
 
 
+def test_named_equivalence_cycles_as_subclass_default(spark):
+    # reference default equivalenceAsSubclass=true: mutual pairs emit two
+    # reciprocal subClassOf rows (RelationGraph.scala:218-227)
+    rows = [
+        [T.AX_DECL_CLASS, 51],
+        [T.AX_DECL_CLASS, 52],
+        [T.AX_EQUIV_NAMED, 51, 52],
+    ]
+    df = FX._rows_to_df(spark, rows, "equiv_test2")
+    out = triples(materialize(df, RGConfig(output_subclasses=True, reflexive_subclasses=False)))
+    assert out == {(51, T.SUBCLASSOF, 52), (52, T.SUBCLASSOF, 51)}
+
+
+def test_reflexive_rows_use_equivalentclass_when_not_as_subclass(spark):
+    # adjustedEquivs includes the concept itself (RelationGraph.scala:217-221):
+    # with equivalenceAsSubclass=false the reflexive row is
+    # C owl:equivalentClass C, not C subClassOf C
+    rows = [[T.AX_DECL_CLASS, 51]]
+    df = FX._rows_to_df(spark, rows, "refl_eq_test")
+    out = triples(
+        materialize(
+            df,
+            RGConfig(
+                output_subclasses=True,
+                reflexive_subclasses=True,
+                equivalence_as_subclass=False,
+            ),
+        )
+    )
+    assert out == {(51, T.EQUIVALENTCLASS, 51)}
+
+
 def test_unsatisfiable_class_suppressed(spark):
-    # class 61 subClassOf owl:Nothing -> emits nothing for 61 (reference
-    # RelationGraph.scala:213-215).
+    # class 61 subClassOf owl:Nothing: the reference suppresses rows whose
+    # OBJECT is unsatisfiable (processSubclasses unsat gate,
+    # RelationGraph.scala:213-215) but keeps unsat SUBJECTS under their
+    # satisfiable ancestors / restrictions.
     rows = [
         [T.AX_DECL_CLASS, 61],
         [T.AX_DECL_CLASS, 62],
+        [T.AX_DECL_CLASS, 63],
         [T.AX_DECL_PROP, 71],
         [T.AX_SUBCLASS, 61, T.BOT],
-        [T.AX_SOME, 61, 71, 62],
+        [T.AX_SUBCLASS, 61, 63],  # unsat subject, sat object: KEPT
+        [T.AX_SOME, 61, 71, 62],  # unsat subject existential: KEPT
         [T.AX_SOME, 62, 71, 62],
     ]
     df = FX._rows_to_df(spark, rows, "unsat_test")
     out = triples(materialize(df, RGConfig(output_subclasses=True)))
-    assert all(s != 61 for s, _, _ in out)
-    assert (62, 71, 62) in out
+    assert out == {
+        (61, 71, 62),
+        (62, 71, 62),
+        (61, T.SUBCLASSOF, 63),
+        # reflexive rows only for satisfiable classes (61 gets none)
+        (62, T.SUBCLASSOF, 62),
+        (63, T.SUBCLASSOF, 63),
+    }
+
+
+def test_bottom_rule_filler_unsat_propagates(spark):
+    # EL bottom rule: A subClassOf (p some B), B subClassOf Nothing => A unsat
+    # (whelk saturation does this internally; RelationGraph.scala:57).
+    rows = [
+        [T.AX_DECL_CLASS, 61],  # A
+        [T.AX_DECL_CLASS, 62],  # B (unsat)
+        [T.AX_DECL_CLASS, 63],  # C: A subClassOf C (kept, sat object)
+        [T.AX_DECL_CLASS, 64],  # D subClassOf A -> D unsat transitively
+        [T.AX_DECL_PROP, 71],
+        [T.AX_SUBCLASS, 62, T.BOT],
+        [T.AX_SOME, 61, 71, 62],
+        [T.AX_SUBCLASS, 61, 63],
+        [T.AX_SUBCLASS, 64, 61],
+    ]
+    df = FX._rows_to_df(spark, rows, "bottom_test")
+    out = triples(
+        materialize(df, RGConfig(output_subclasses=True, reflexive_subclasses=False))
+    )
+    # rows with unsat objects (62, 61, 64) suppressed; unsat subjects kept
+    assert out == {(61, T.SUBCLASSOF, 63), (64, T.SUBCLASSOF, 63)}
 
 
 def test_individuals_mode(spark):
@@ -153,3 +219,39 @@ def test_individuals_mode(spark):
     # individual 91 : C, and C subClassOf (p some D) -> 91 p D
     assert (91, FX.P_, FX.D_) in out
     assert out == FX.GOLDEN_A_EXISTENTIAL | {(91, FX.P_, FX.D_)}
+
+
+def test_individuals_taxonomy_rows(spark):
+    # with outputSubclasses AND outputIndividuals the reference also emits
+    # `ind rdf:type class` for every superclass in the closure
+    # (processSubclasses individualsTriples, RelationGraph.scala:206-210)
+    rows = list(FX.MATERIALIZE_TEST_ROWS) + [[T.AX_CLASS_ASSERTION, FX.C_, 91]]
+    df = FX._rows_to_df(spark, rows, "ind_tax_test")
+    cfg = RGConfig(
+        output_subclasses=True, reflexive_subclasses=False, output_individuals=True
+    )
+    out = triples(materialize(df, cfg))
+    type_rows = {(s, p, o) for (s, p, o) in out if p == T.RDF_TYPE}
+    # 91 : C, C subClassOf* {C, B, A}
+    assert type_rows == {
+        (91, T.RDF_TYPE, FX.C_),
+        (91, T.RDF_TYPE, FX.B_),
+        (91, T.RDF_TYPE, FX.A_),
+    }
+    assert (91, FX.P_, FX.D_) in out
+
+
+def test_defaults_match_reference():
+    # field-by-field parity with reference Config defaults
+    # (core RelationGraph.scala:35-42 Config case class)
+    from relation_graph_spark.config import OutputMode
+
+    cfg = RGConfig()
+    assert cfg.mode == OutputMode.RDF
+    assert cfg.output_subclasses is False
+    assert cfg.reflexive_subclasses is True
+    assert cfg.equivalence_as_subclass is True
+    assert cfg.output_classes is True
+    assert cfg.output_individuals is False
+    assert cfg.disable_owl_nothing is False
+    assert cfg.properties is None
