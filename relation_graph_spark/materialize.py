@@ -281,6 +281,10 @@ def compute_unsat(sc_star: DataFrame, some: DataFrame, cfg: RGConfig) -> DataFra
         .dropDuplicates()
         .localCheckpoint()
     )
+    if unsat.isEmpty():
+        # common case: nothing under owl:Nothing — skip the bottom-rule loop
+        # entirely (no scan of the told existentials)
+        return unsat
     for _ in range(cfg.max_iterations):
         bad_subjects = (
             some.join(F.broadcast(unsat), some["f"] == unsat["c"], "left_semi")

@@ -253,7 +253,7 @@ class InMemoryEdgeSink:
             return None
         all_tombs = set().union(*self._tombs.values()) if self._tombs else set()
         rows = [
-            r
+            r.asDict()
             for b in self.committed_batches()
             for r in self._data[b]
             if r["edge_hash"] not in all_tombs

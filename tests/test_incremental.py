@@ -27,7 +27,7 @@ def _told(spark, rows, source):
 def _fold(spark, row_splits):
     state = initial_state(_told(spark, row_splits[0], "s0"), CFG)
     for i, part in enumerate(row_splits[1:], 1):
-        state = apply_delta(state, _told(spark, part, f"s{i}"), CFG)
+        state, _deltas = apply_delta(state, _told(spark, part, f"s{i}"), CFG)
     return triples(assemble_from_state(state, CFG))
 
 

@@ -67,7 +67,7 @@ def test_incremental_matches_batch_on_random_split(spark, rows, cut):
         return told_tables(decode_axioms(FX._rows_to_df(spark, part or [[T.AX_DECL_CLASS, 11]], name)))
 
     state = initial_state(told(a, "a"), CFG)
-    state = apply_delta(state, told(b, "b"), CFG)
+    state, _deltas = apply_delta(state, told(b, "b"), CFG)
     inc = triples(assemble_from_state(state, CFG))
     batch = materialize_py(rows + ([[T.AX_DECL_CLASS, 11]] if not a or not b else []))
     # the dummy declaration only adds class 11, which never emits alone

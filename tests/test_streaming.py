@@ -143,6 +143,108 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert len(job.metrics()) == 1
 
 
+def _write_token_batches(spark, base_dir, row_batches):
+    """Write arbitrary token-row batches, one parquet file each."""
+    from datetime import datetime, timedelta, timezone
+
+    os.makedirs(base_dir, exist_ok=True)
+    t0 = datetime(2026, 1, 1)
+    doc = 0
+    for i, rows in enumerate(row_batches):
+        recs = []
+        for toks in rows:
+            doc += 1
+            recs.append(
+                {
+                    "doc_id": f"x{doc:08d}",
+                    "tokens": [int(t) for t in toks],
+                    "n_tok": len(toks),
+                    "source": f"batch{i}",
+                    "ts": t0 + timedelta(seconds=doc),
+                }
+            )
+        write_seq_file(base_dir, f"part{i}.parquet", recs)
+
+
+def test_cross_batch_mutual_subsumption_retracts_subclass_row(spark, tmp_path):
+    """equivalence_as_subclass=False: batch 1 commits (11 subClassOf 12);
+    batch 2 delivers the reverse subsumption — the live sink must equal the
+    one-shot batch output (reciprocal equivalentClass rows, the stale
+    subclass row tombstoned). This is the ADVICE round-1 invariant case."""
+    inp = str(tmp_path / "in")
+    _write_token_batches(
+        spark,
+        inp,
+        [
+            [[T.AX_DECL_CLASS, 11], [T.AX_DECL_CLASS, 12], [T.AX_SUBCLASS, 11, 12]],
+            [[T.AX_SUBCLASS, 12, 11]],
+        ],
+    )
+    job = IncrementalClosureJob(spark, inp, str(tmp_path / "work"), TEST_CFG)
+    job.run_available(max_files_per_trigger=1)
+    assert _sink_triples(job) == {
+        (11, T.EQUIVALENTCLASS, 12),
+        (12, T.EQUIVALENTCLASS, 11),
+    }
+    ms = job.metrics()
+    assert ms[-1]["n_tombstones"] == 1  # the stale (11, subClassOf, 12)
+
+
+def test_cross_batch_late_unsat_retracts_object_rows(spark, tmp_path):
+    """Batch 2 makes class 12 unsatisfiable; rows already committed with 12
+    (or its newly-unsat subclasses) as object must be tombstoned so the live
+    sink equals the batch semantics (which suppresses unsat objects)."""
+    inp = str(tmp_path / "in")
+    _write_token_batches(
+        spark,
+        inp,
+        [
+            [
+                [T.AX_DECL_CLASS, 11],
+                [T.AX_DECL_CLASS, 12],
+                [T.AX_DECL_CLASS, 13],
+                [T.AX_DECL_PROP, 21],
+                [T.AX_SOME, 11, 21, 12],
+                [T.AX_SUBCLASS, 13, 12],
+            ],
+            [[T.AX_SUBCLASS, 12, T.BOT]],
+        ],
+    )
+    job = IncrementalClosureJob(spark, inp, str(tmp_path / "work"), TEST_CFG)
+    job.run_available(max_files_per_trigger=1)
+    # batch 1 emitted (11,21,12) and (13,subClassOf,12); both retracted
+    assert _sink_triples(job) == set()
+    assert job.metrics()[-1]["n_tombstones"] == 2
+
+
+def test_lineage_running_totals(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    _write_batches(spark, inp, [(1, 7), (8, 10), (11, 12)])
+    job = IncrementalClosureJob(spark, inp, str(tmp_path / "work"), TEST_CFG)
+    job.run_available(max_files_per_trigger=1)
+    ms = job.metrics()
+    # running totals accumulate; final total = all 12 fixture rows
+    assert ms[-1]["told_rows_by_source"] == {"materialize_test": 12}
+    assert ms[0]["told_rows_by_source"] == {"materialize_test": 7}
+
+
+def test_inmemory_sink_binding(spark, tmp_path):
+    """The EdgeSink seam: running the pipeline against the in-memory binding
+    produces the same live edge set as the parquet binding."""
+    from relation_graph_spark.sinks import InMemoryEdgeSink
+
+    inp = str(tmp_path / "in")
+    _write_batches(spark, inp, [(1, 10), (11, 12)])
+    mem = InMemoryEdgeSink(spark)
+    job = IncrementalClosureJob(
+        spark, inp, str(tmp_path / "work"), TEST_CFG, sink=mem
+    )
+    job.run_available(max_files_per_trigger=1)
+    got = {(r.s, r.p, r.o) for r in mem.read().select("s", "p", "o").collect()}
+    assert got == GOLDEN_ALL
+    assert len(mem.metrics()) == 2
+
+
 def test_stateful_dedup_operator(spark, tmp_path):
     """applyInPandasWithState seen-edge store: duplicates across micro-batches
     are emitted exactly once."""
