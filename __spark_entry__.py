@@ -312,7 +312,9 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from relation_graph_spark.ops.dedup import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), num_hashes=8, band_size=2)
+    return lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=8, band_size=2, max_bucket_size=64
+    )
 
 
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,7 +377,10 @@ def q_ann_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from relation_graph_spark.ops.similarity import cosine_near_dup_pairs
 
     return cosine_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold_ppm=150000, max_vec_id=300
+        _t(spark, sf_dir, "embeddings"),
+        threshold_ppm=150000,
+        max_vec_id=300,
+        max_bucket_size=64,
     )
 
 
@@ -760,13 +765,19 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents)
           GROUP BY doc_id
         ),
-        bands AS (
+        bands0 AS (
           SELECT doc_id, unnest([
             '0' || '|' || mh0 || '|' || mh1,
             '1' || '|' || mh2 || '|' || mh3,
             '2' || '|' || mh4 || '|' || mh5,
             '3' || '|' || mh6 || '|' || mh7
           ]) AS bucket FROM sigs
+        ),
+        bands AS (  -- hot-bucket cap mirrors max_bucket_size=64
+          SELECT doc_id, bucket FROM (
+            SELECT doc_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bn
+            FROM bands0
+          ) WHERE bn <= 64
         )
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
@@ -866,13 +877,19 @@ def oracle_sql() -> dict[str, str]:
     """
 
     q["ann_near_dup_pairs"] = f"""
-        WITH b AS (
+        WITH b0 AS (
           SELECT vec_id, {_QVEC} AS q,
                  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
                  (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
                  (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
                  (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
           FROM embeddings WHERE vec_id < 300
+        ),
+        b AS (  -- hot-bucket cap mirrors max_bucket_size=64
+          SELECT vec_id, q, bucket FROM (
+            SELECT vec_id, q, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bn
+            FROM b0
+          ) WHERE bn <= 64
         ),
         p AS (
           SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,

@@ -106,6 +106,8 @@ def derive_relations(
     broadcast_row_threshold: int,
     subject_star: DataFrame | None = None,
     filler_star: DataFrame | None = None,
+    hot_key_threshold: int = 1_000_000,
+    n_salts: int = 16,
 ) -> DataFrame:
     """R3: one declarative join chain; Catalyst plans the physical strategy.
 
@@ -126,18 +128,31 @@ def derive_relations(
     filler side respectively (default: sc_star for both) — the hook the
     incremental engine uses to restrict a derivation pass to delta closure
     pairs on one side only.
+
+    Skew: below broadcast_row_threshold the hierarchy sides broadcast, so
+    the fact table never shuffles by a (potentially hub-skewed) key —
+    broadcast hash joins are skew-immune by construction. Above it each
+    expansion stage routes through skew.hot_key_salted_join: keys whose
+    closure multiplicity exceeds hot_key_threshold (hub classes) are salted
+    across n_salts tasks, the rest join plain.
     """
-    sub_side = _bcast_if_small(
-        sc_star if subject_star is None else subject_star, broadcast_row_threshold
-    )
-    fill_side = (
-        sub_side
-        if filler_star is None and subject_star is None
-        else _bcast_if_small(
-            sc_star if filler_star is None else filler_star, broadcast_row_threshold
-        )
-    )
-    prop_side = _bcast_if_small(sp_star, broadcast_row_threshold)
+
+    def _side(df: DataFrame) -> tuple[DataFrame, bool]:
+        if broadcast_row_threshold > 0 and df.count() <= broadcast_row_threshold:
+            return F.broadcast(df), True
+        return df, False
+
+    sub_plain = sc_star if subject_star is None else subject_star
+    sub_side, sub_bcast = _side(sub_plain)
+    if filler_star is None and subject_star is None:
+        fill_plain, fill_side, fill_bcast = sub_plain, sub_side, sub_bcast
+    else:
+        fill_plain = sc_star if filler_star is None else filler_star
+        fill_side, fill_bcast = _side(fill_plain)
+    prop_plain = sp_star
+    prop_side, prop_bcast = _side(prop_plain)
+
+    from relation_graph_spark.skew import hot_key_salted_join
 
     # token-packing eligibility: one cheap max() scan over the closure sides
     max_tok = (
@@ -154,29 +169,41 @@ def derive_relations(
     packable = max_tok is not None and 0 <= max_tok < (1 << _PACK_BITS)
 
     # x is any subclass (refl.) of the told subject
-    s1 = (
-        some.alias("t")
-        .join(sub_side.alias("xs"), F.col("t.s") == F.col("xs.sup"))
-        .select(
+    if sub_bcast:
+        j1 = some.alias("t").join(
+            sub_side.alias("xs"), F.col("t.s") == F.col("xs.sup")
+        ).select(
             F.col("xs.sub").alias("x"), F.col("t.p").alias("q"), F.col("t.f").alias("f")
         )
-        .transform(lambda d: _distinct3(d, "x", "q", "f", packable))
-        .localCheckpoint()
-    )
+    else:
+        j1 = hot_key_salted_join(
+            some, sub_plain, "s", "sup", n_salts, hot_key_threshold
+        ).select(F.col("sub").alias("x"), F.col("p").alias("q"), F.col("f"))
+    s1 = j1.transform(lambda d: _distinct3(d, "x", "q", "f", packable)).localCheckpoint()
+
     # o is any superclass (refl.) of the told filler
-    s2 = (
-        s1.join(fill_side.alias("fo"), F.col("f") == F.col("fo.sub"))
-        .select("x", "q", F.col("fo.sup").alias("o"))
-        .transform(lambda d: _distinct3(d, "x", "q", "o", packable))
-        .localCheckpoint()
-    )
+    if fill_bcast:
+        j2 = s1.join(fill_side.alias("fo"), F.col("f") == F.col("fo.sub")).select(
+            "x", "q", F.col("fo.sup").alias("o")
+        )
+    else:
+        j2 = hot_key_salted_join(
+            s1, fill_plain, "f", "sub", n_salts, hot_key_threshold
+        ).select("x", "q", F.col("sup").alias("o"))
+    s2 = j2.transform(lambda d: _distinct3(d, "x", "q", "o", packable)).localCheckpoint()
+
     # p is any superproperty (refl.) of the told property — highest average
     # fan-out, so expanded last over already-deduped rows. Stage boundaries
     # are materialized (localCheckpoint): measured 2.3x faster than the fused
     # plan at 44M edges and keeps every stage's input a flat in-memory RDD.
-    s3 = s2.join(prop_side.alias("pq"), F.col("q") == F.col("pq.sub")).select(
-        F.col("x").alias("s"), F.col("pq.sup").alias("p"), "o"
-    )
+    if prop_bcast:
+        s3 = s2.join(prop_side.alias("pq"), F.col("q") == F.col("pq.sub")).select(
+            F.col("x").alias("s"), F.col("pq.sup").alias("p"), "o"
+        )
+    else:
+        s3 = hot_key_salted_join(
+            s2, prop_plain, "q", "sub", n_salts, hot_key_threshold
+        ).select(F.col("x").alias("s"), F.col("sup").alias("p"), "o")
     return _distinct3(s3, "s", "p", "o", packable)
 
 

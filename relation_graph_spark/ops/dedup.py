@@ -92,13 +92,21 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, num_hashes: int = 8, band_size: int = 2
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any band bucket.
 
     bands = num_hashes / band_size; bucket key = band index + concatenated
     minhashes. Candidate generation is groupBy(bucket) — linear shuffle, the
     100-TB near-dup path (vs the quadratic self-join above).
+
+    `max_bucket_size` drops buckets holding more members than the cap BEFORE
+    pair generation (hot-bucket guard: k identical boilerplate docs in one
+    band bucket otherwise emit O(k^2) pairs; at scale those route to the
+    exact-dedup pass, which handles identical content in one shuffle).
     """
     sigs = minhash_signatures(docs, num_hashes)
     n_bands = num_hashes // band_size
@@ -117,6 +125,10 @@ def lsh_candidate_pairs(
             )
         ).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        from relation_graph_spark.ops.similarity import cap_buckets
+
+        bands = cap_buckets(bands, "bucket", max_bucket_size)
     x = bands.alias("x")
     y = bands.alias("y")
     return (

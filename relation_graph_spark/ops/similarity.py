@@ -50,8 +50,18 @@ def with_quantized(emb: DataFrame, col: str = "embedding") -> DataFrame:
     )
 
 
-def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
-    """Exact top-k by quantized cosine; ties broken by vec_id ascending."""
+def cosine_topk(
+    emb: DataFrame, query_vec_id: int, k: int = 10, n_groups: int = 64
+) -> DataFrame:
+    """Exact top-k by quantized cosine; ties broken by vec_id ascending.
+
+    Two-stage top-k (the scale shape): stage 1 takes the top-k within each of
+    `n_groups` hash groups in parallel (narrow shuffle of (vec_id,
+    cosine_ppm) rows only), stage 2 ranks the <= k*n_groups survivors in one
+    tiny task. Identical result to a global sort — any global top-k row is
+    also top-k within its group — without funneling the full scored set
+    through a single-partition window (round-1 VERDICT item 6).
+    """
     q = with_quantized(emb)
     query = q.where(F.col("vec_id") == query_vec_id).select(
         F.col("q").alias("qq"), F.col("q_norm2").alias("qq_norm2")
@@ -72,9 +82,20 @@ def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    grouped = scored.withColumn(
+        "_g", F.pmod(F.xxhash64("vec_id"), F.lit(n_groups))
+    )
+    wp = Window.partitionBy("_g").orderBy(
+        F.col("cosine_ppm").desc(), F.col("vec_id").asc()
+    )
+    cand = (
+        grouped.withColumn("_pr", F.row_number().over(wp))
+        .where(F.col("_pr") <= k)
+        .drop("_g", "_pr")
+    )
     w = Window.orderBy(F.col("cosine_ppm").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "cosine_ppm", "rank")
     )
@@ -101,20 +122,43 @@ def bucketed_topk(emb: DataFrame, query_vec_id: int, k: int = 10, n_dims: int = 
     return cosine_topk(candidates, query_vec_id, k)
 
 
+def cap_buckets(df: DataFrame, bucket_col: str, max_bucket_size: int | None) -> DataFrame:
+    """Hot-bucket guard for blocked self-joins: drop buckets holding more
+    than `max_bucket_size` members BEFORE pair generation, bounding the
+    worst bucket's O(k^2) blowup (round-1 VERDICT item 7). Degenerate
+    buckets (boilerplate shingles, zero-vector embeddings) are exactly the
+    ones that explode pair counts while contributing near-zero signal; at
+    100 TB they are re-routed to a dedicated exact-dup pass instead."""
+    if max_bucket_size is None:
+        return df
+    ok = (
+        df.groupBy(bucket_col)
+        .agg(F.count("*").alias("_bn"))
+        .where(F.col("_bn") <= max_bucket_size)
+        .select(bucket_col)
+    )
+    return df.join(ok, on=bucket_col, how="left_semi")
+
+
 def cosine_near_dup_pairs(
-    emb: DataFrame, threshold_ppm: int = 990000, max_vec_id: int | None = None
+    emb: DataFrame,
+    threshold_ppm: int = 990000,
+    max_vec_id: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >= t).
 
     Brute-force tier over a bounded id range; the scale path blocks by
     sign_bucket first (near-identical vectors share the bucket with high
     probability), turning the quadratic self-join into per-bucket joins —
-    bucket is the blocking/partition key at 100 TB.
+    bucket is the blocking/partition key at 100 TB. `max_bucket_size` caps
+    the worst bucket (see cap_buckets).
     """
     q = with_quantized(emb if max_vec_id is None else emb.where(F.col("vec_id") < max_vec_id))
     q = q.withColumn("bucket", sign_bucket(F.col("embedding"), 4)).select(
         "vec_id", "q", "q_norm2", "bucket"
     )
+    q = cap_buckets(q, "bucket", max_bucket_size)
     a = q.alias("a")
     b = q.alias("b")
     cos = F.floor(

@@ -129,3 +129,42 @@ def test_cli_presentation_owl_mode(spark, tmp_path):
     assert any("owl#Ontology" in ln for ln in lines)
     # 1 header + 8 existential edges x 4 reified triples
     assert len(lines) == 1 + 8 * 4
+
+
+def test_hot_key_salted_join_matches_plain(spark):
+    from relation_graph_spark.skew import hot_key_salted_join
+
+    fact = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(1)).otherwise(F.col("id") % 50).alias("s"),
+        (F.col("id") % 7).alias("p"),
+        (F.col("id") % 11).alias("f"),
+    )
+    dim = spark.createDataFrame(
+        [(i % 60, i) for i in range(3000)], "sub: bigint, sup: bigint"
+    ).select(F.col("sup").alias("sub"), F.col("sub").alias("sup"))  # hub on sup side
+    plain = fact.join(dim, fact["s"] == dim["sup"]).select("sub", "p", "f")
+    salted = hot_key_salted_join(fact, dim, "s", "sup", n_salts=8, hot_threshold=10).select(
+        "sub", "p", "f"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).isEmpty() and salted.exceptAll(plain).isEmpty()
+
+
+def test_derive_relations_salted_branch_matches_broadcast(spark):
+    """Force the above-broadcast-threshold branch (threshold=0) with a tiny
+    hot-key bound on the hub fixture: the salted R3 derivation must equal
+    the broadcast-plan derivation edge-for-edge."""
+    from relation_graph_spark.config import RGConfig
+    from relation_graph_spark.decode import decode_axioms, told_tables
+    from relation_graph_spark.materialize import materialize_edges, derive_relations
+
+    seq = FX.gen_ontology(spark, 300, 3, 600, hub_pct=0.01, hub_boost=100)
+    told = told_tables(decode_axioms(seq))
+    m = materialize_edges(told, RGConfig())
+    some = told["some"].dropDuplicates()
+    bcast = derive_relations(m["sc_star"], some, m["sp_star"], 5_000_000)
+    salted = derive_relations(
+        m["sc_star"], some, m["sp_star"], 0, hot_key_threshold=5, n_salts=8
+    )
+    assert bcast.count() == salted.count()
+    assert bcast.exceptAll(salted).isEmpty() and salted.exceptAll(bcast).isEmpty()

@@ -302,3 +302,43 @@ def test_gen_ontology_deterministic(spark):
     a = gen_ontology_rows(500, 4, 1000)
     b = gen_ontology_rows(500, 4, 1000)
     assert a == b and len(a) > 1500
+
+
+def test_hot_bucket_cap_drops_degenerate_bucket(spark):
+    """k identical docs share every band bucket: with a cap below k the
+    degenerate bucket is dropped (no O(k^2) pair blowup); distinct docs
+    still pair up."""
+    from relation_graph_spark.ops.dedup import lsh_candidate_pairs
+
+    rows = [(i, "identical boilerplate text shared by many docs") for i in range(20)]
+    rows += [(100, "a unique document about spark joins"),
+             (101, "a unique document about spark joins")]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    capped = lsh_candidate_pairs(docs, num_hashes=4, band_size=2, max_bucket_size=10)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(100, 101)}  # the 20-doc degenerate bucket never pairs
+    uncapped = lsh_candidate_pairs(docs, num_hashes=4, band_size=2)
+    assert uncapped.count() == 20 * 19 // 2 + 1
+
+
+def test_two_stage_topk_equals_global_sort(spark):
+    """cosine_topk's grouped two-stage top-k must equal a brute-force global
+    sort on the exact integer scores."""
+    from relation_graph_spark.ops.similarity import cosine_topk, with_quantized, _dot
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [(r.vec_id, r.cosine_ppm, r.rank) for r in
+           cosine_topk(emb, 0, k=7, n_groups=16).orderBy("rank").collect()]
+    q = with_quantized(emb)
+    query = q.where(F.col("vec_id") == 0).select(
+        F.col("q").alias("qq"), F.col("q_norm2").alias("qq_norm2"))
+    scored = (q.where(F.col("vec_id") != 0).crossJoin(F.broadcast(query))
+              .select("vec_id",
+                      F.floor(_dot(F.col("q"), F.col("qq")) * 1000000 /
+                              F.sqrt(F.col("q_norm2").cast("double")
+                                     * F.col("qq_norm2").cast("double")))
+                      .cast("bigint").alias("cosine_ppm")))
+    brute = [(r.vec_id, r.cosine_ppm) for r in
+             scored.orderBy(F.col("cosine_ppm").desc(), F.col("vec_id").asc())
+             .limit(7).collect()]
+    assert [(v, c) for v, c, _ in got] == brute
