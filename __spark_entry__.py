@@ -198,6 +198,38 @@ def q_rg_prefix_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window block (streaming surface, batch-checkable)
 # --------------------------------------------------------------------------
 
+def q_rg_prefix_map_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-map-over-OBO precedence (reference LongestFirstPrefixMapping +
+    oboPrefixes toggle, Config.scala:48-50): an explicit prefix mapping wins
+    over the OBO fallback; unmapped OBO-shaped IRIs compact via OBO; others
+    pass through. Exercises longest-first tie-breaking too."""
+    from relation_graph_spark.prefix import compact_iri
+
+    prefixes = {
+        "obo": "http://purl.obolibrary.org/obo/",
+        "nat": "http://purl.obolibrary.org/obo/NAT_",
+    }
+    nation = _t(spark, sf_dir, "nation")
+    iri = F.when(
+        F.col("n_nationkey") % 3 == 0,
+        F.concat(
+            F.lit("http://purl.obolibrary.org/obo/NAT_"),
+            F.lpad(F.col("n_nationkey").cast("string"), 7, "0"),
+        ),
+    ).when(
+        F.col("n_nationkey") % 3 == 1,
+        F.concat(F.lit("http://example.org/plain/"), F.col("n_nationkey")),
+    ).otherwise(
+        F.concat(F.lit("http://purl.obolibrary.org/obo/GO_"), F.col("n_nationkey"))
+    )
+    df = nation.select(iri.alias("iri"))
+    return df.select(
+        "iri",
+        compact_iri(F.col("iri"), prefixes, obo_prefixes=True).alias("curie"),
+        compact_iri(F.col("iri"), {}, obo_prefixes=False).alias("curie_no_obo"),
+    )
+
+
 def q_win_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     from relation_graph_spark.streaming.windows import tumbling_agg
 
@@ -461,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rg_reify_owl": q_rg_reify_owl,
         "rg_ntriples_lines": q_rg_ntriples_lines,
         "rg_prefix_compact": q_rg_prefix_compact,
+        "rg_prefix_map_precedence": q_rg_prefix_map_precedence,
         "rg_materialize_fixture": q_rg_materialize_fixture,
         "win_tumbling_hour": q_win_tumbling_hour,
         "win_sliding": q_win_sliding,
@@ -660,6 +693,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT iri,
                regexp_replace(iri, '^http://purl\\.obolibrary\\.org/obo/([^_]+)_(.+)$', '\\1:\\2') AS curie
+        FROM i
+    """
+
+    q["rg_prefix_map_precedence"] = """
+        WITH i AS (
+          SELECT CASE
+            WHEN n_nationkey % 3 = 0 THEN 'http://purl.obolibrary.org/obo/NAT_' ||
+                 lpad(CAST(n_nationkey AS VARCHAR), 7, '0')
+            WHEN n_nationkey % 3 = 1 THEN 'http://example.org/plain/' ||
+                 CAST(n_nationkey AS VARCHAR)
+            ELSE 'http://purl.obolibrary.org/obo/GO_' || CAST(n_nationkey AS VARCHAR)
+          END AS iri
+          FROM nation
+        )
+        SELECT iri,
+               CASE
+                 WHEN starts_with(iri, 'http://purl.obolibrary.org/obo/NAT_')
+                   THEN 'nat:' || substr(iri, 36)
+                 WHEN starts_with(iri, 'http://purl.obolibrary.org/obo/')
+                   THEN 'obo:' || substr(iri, 32)
+                 ELSE iri
+               END AS curie,
+               iri AS curie_no_obo
         FROM i
     """
 

@@ -98,14 +98,39 @@ def read_prefixes_yaml(path: str) -> dict[str, str]:
     return {str(k): str(v) for k, v in data.items()}
 
 
-def config_from_args(args) -> "RGConfig":
+def config_from_args(args, spark=None) -> "RGConfig":
     from relation_graph_spark.config import OutputMode, RGConfig
 
     props = set(args.property or [])
+    iri_props: list[str] = []
     if args.properties_file:
         with open(args.properties_file) as fh:
-            # trim + skip blanks (reference Main.scala:87)
-            props |= {int(line.strip()) for line in fh if line.strip()}
+            # trim + skip blanks (reference Main.scala:87); lines may be
+            # int tokens or IRIs (the reference's shape) — IRIs resolve
+            # through the --vocab dictionary
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    props.add(int(line))
+                except ValueError:
+                    iri_props.append(line)
+    if iri_props:
+        if spark is None or not args.vocab:
+            raise SystemExit(
+                "properties-file contains IRIs; pass --vocab to resolve them"
+            )
+        vocab = spark.read.parquet(args.vocab)
+        resolved = {
+            r["iri"]: r["token"]
+            for r in vocab.where(vocab["iri"].isin(iri_props)).collect()
+        }
+        # undefined property IRIs are tolerated, like the reference's
+        # 'nonexistent' test property (TestRelationGraph.scala:58-67): they
+        # restrict to nothing rather than erroring
+        props |= {resolved[i] for i in iri_props if i in resolved}
+        props |= {-1 for i in iri_props if i not in resolved}  # impossible token
     return RGConfig(
         mode=OutputMode(args.mode),
         output_subclasses=args.output_subclasses,
@@ -147,7 +172,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(
         f"rgs-{args.cmd}", master=args.master, shuffle_partitions=args.shuffle_partitions
     )
-    cfg = config_from_args(args)
+    cfg = config_from_args(args, spark=spark)
 
     if args.cmd == "batch":
         from relation_graph_spark.hashing import with_edge_hash

@@ -168,3 +168,22 @@ def test_derive_relations_salted_branch_matches_broadcast(spark):
     )
     assert bcast.count() == salted.count()
     assert bcast.exceptAll(salted).isEmpty() and salted.exceptAll(bcast).isEmpty()
+
+
+def test_cli_properties_file_with_iris(spark, tmp_path):
+    """Properties file may hold IRIs (the reference's shape) resolved via
+    --vocab; undefined IRIs are tolerated (TestRelationGraph.scala:58-67)."""
+    from relation_graph_spark import cli
+
+    inp, voc = _write_fixture_inputs(spark, tmp_path)
+    pf = tmp_path / "props.txt"
+    pf.write_text("http://example.org/test#p\nhttp://example.org/test#nonexistent\n")
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["batch", "--input", inp, "--output", out, "--vocab", voc,
+         "--properties-file", str(pf), "--master", "local[4]"]
+    )
+    assert rc == 0
+    edges = spark.read.parquet(f"{out}/edges")
+    got = {(r.s, r.p, r.o) for r in edges.select("s", "p", "o").collect()}
+    assert got == FX.GOLDEN_A_EXISTENTIAL  # p resolved, nonexistent ignored
