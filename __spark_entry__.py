@@ -405,6 +405,14 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from relation_graph_spark.ops.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, n_centroids=8, n_probe=2
+    )
+
+
 def q_ann_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from relation_graph_spark.ops.similarity import cosine_near_dup_pairs
 
@@ -512,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_near_dup_pairs": q_ann_near_dup_pairs,
         "mm_decode_features": q_mm_decode_features,
         "rg_incremental_stream": q_rg_incremental_stream,
@@ -982,6 +991,52 @@ def oracle_sql() -> dict[str, str]:
                         CAST(list_sum(list_transform(qv.q, x -> x * x)) AS DOUBLE))
                  ) AS BIGINT) AS cosine_ppm
           FROM v CROSS JOIN qv
+        )
+        SELECT vec_id, cosine_ppm,
+               CAST(row_number() OVER (ORDER BY cosine_ppm DESC, vec_id ASC) AS INT) AS rank
+        FROM s QUALIFY rank <= 10
+    """
+
+    q["ann_ivf_topk"] = f"""
+        WITH v AS (SELECT vec_id, {_QVEC} AS q FROM embeddings),
+        n AS (
+          SELECT vec_id, q,
+                 list_sum(list_transform(q, x -> x * x)) AS n2
+          FROM v
+        ),
+        c AS (SELECT vec_id AS cent_id, q AS cq, n2 AS cn2 FROM n WHERE vec_id < 8),
+        a AS (  -- nearest-centroid assignment, exact int L2, ties by cent_id
+          SELECT vec_id, q, n2, cent_id FROM (
+            SELECT n.vec_id, n.q, n.n2, c.cent_id,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                     (n.n2 + c.cn2 - 2 * list_sum(list_transform(
+                        list_zip(n.q, c.cq), z -> z[1] * z[2]))) ASC,
+                     c.cent_id ASC) AS r
+            FROM n CROSS JOIN c
+          ) WHERE r = 1
+        ),
+        qr AS (SELECT q AS qq, n2 AS qn2 FROM n WHERE vec_id = 0),
+        probes AS (  -- n_probe=2 nearest lists to the query
+          SELECT cent_id FROM (
+            SELECT c.cent_id,
+                   row_number() OVER (ORDER BY
+                     (qr.qn2 + c.cn2 - 2 * list_sum(list_transform(
+                        list_zip(qr.qq, c.cq), z -> z[1] * z[2]))) ASC,
+                     c.cent_id ASC) AS r
+            FROM c CROSS JOIN qr
+          ) WHERE r <= 2
+        ),
+        cand AS (
+          SELECT a.vec_id, a.q, a.n2 FROM a
+          JOIN probes USING (cent_id) WHERE a.vec_id <> 0
+        ),
+        s AS (
+          SELECT cand.vec_id,
+                 CAST(floor(
+                   list_sum(list_transform(list_zip(cand.q, qr.qq), z -> z[1] * z[2])) * 1000000 /
+                   sqrt(CAST(cand.n2 AS DOUBLE) * CAST(qr.qn2 AS DOUBLE))
+                 ) AS BIGINT) AS cosine_ppm
+          FROM cand CROSS JOIN qr
         )
         SELECT vec_id, cosine_ppm,
                CAST(row_number() OVER (ORDER BY cosine_ppm DESC, vec_id ASC) AS INT) AS rank

@@ -181,6 +181,90 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest centroid
+    (inverted lists = centroid_id partitions), then search only the query's
+    `n_probe` nearest lists.
+
+    Centroids are the embeddings of the first `n_centroids` vec_ids —
+    deterministic seeds (a production build runs Lloyd iterations over the
+    same integer arithmetic; seeds keep the oracle exact). All distances are
+    exact integer arithmetic on milli-quantized vectors, so DuckDB
+    reproduces the assignment and the ranking bit-for-bit.
+
+    Scale shape: assignment is one broadcast-centroid pass over the table
+    (map-side, no shuffle); `centroid_id` is the partition key at rest, so a
+    probe prunes the scan to n_probe/n_centroids of the data — the IVF
+    counterpart of bucketed_topk's sign-LSH pruning.
+    """
+    from pyspark.sql.window import Window
+
+    q = with_quantized(emb)
+    cents = q.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("q").alias("cq"),
+        F.col("q_norm2").alias("cq_norm2"),
+    )
+    # assign: nearest centroid by squared L2 on quantized ints (exact);
+    # min(struct(dist, cent_id)) is a plain aggregation — map-side combine,
+    # no window shuffle, ties broken by centroid id
+    dist = (
+        F.col("q_norm2")
+        + F.col("cq_norm2")
+        - F.lit(2) * _dot(F.col("q"), F.col("cq"))
+    )
+    assigned = (
+        q.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(dist.alias("d"), F.col("cent_id").alias("c"))).alias("best"),
+            F.first("q").alias("q"),
+            F.first("q_norm2").alias("q_norm2"),
+        )
+        .select("vec_id", "q", "q_norm2", F.col("best.c").alias("cent_id"))
+    )
+    query_row = q.where(F.col("vec_id") == query_vec_id).select(
+        F.col("q").alias("qq"), F.col("q_norm2").alias("qq_norm2")
+    )
+    qdist = (
+        F.col("qq_norm2")
+        + F.col("cq_norm2")
+        - F.lit(2) * _dot(F.col("qq"), F.col("cq"))
+    )
+    wp = Window.orderBy(qdist.asc(), F.col("cent_id").asc())
+    probes = (
+        query_row.crossJoin(F.broadcast(cents))
+        .withColumn("_r", F.row_number().over(wp))
+        .where(F.col("_r") <= n_probe)
+        .select("cent_id")
+    )
+    cand = assigned.join(F.broadcast(probes), on="cent_id", how="left_semi").where(
+        F.col("vec_id") != query_vec_id
+    )
+    scored = cand.crossJoin(F.broadcast(query_row)).select(
+        "vec_id",
+        F.floor(
+            _dot(F.col("q"), F.col("qq"))
+            * 1000000
+            / F.sqrt(F.col("q_norm2").cast("double") * F.col("qq_norm2").cast("double"))
+        )
+        .cast("bigint")
+        .alias("cosine_ppm"),
+    )
+    w = Window.orderBy(F.col("cosine_ppm").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "cosine_ppm", "rank")
+    )
+
+
 def cosine_topk_arrow(emb: DataFrame, query: list[float], k: int = 10) -> DataFrame:
     """Vectorized numpy brute force: per Arrow batch, one matrix-vector
     product; per-partition top-k then global top-k. float64 path (not
