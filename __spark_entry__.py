@@ -198,6 +198,28 @@ def q_rg_prefix_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window block (streaming surface, batch-checkable)
 # --------------------------------------------------------------------------
 
+def q_rg_triples_to_axioms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 triple->axiom dispatch (reference RelationGraphUtil.scala:33-39):
+    map output triples back to axiom records by predicate."""
+    from relation_graph_spark import tokens as T
+    from relation_graph_spark.util import triples_to_axioms
+
+    nation = _t(spark, sf_dir, "nation")
+    edges = (
+        nation.select(
+            (F.col("n_nationkey") + 100).cast("int").alias("s"),
+            F.when(F.col("n_nationkey") % 4 == 0, F.lit(T.SUBCLASSOF))
+            .when(F.col("n_nationkey") % 4 == 1, F.lit(T.EQUIVALENTCLASS))
+            .when(F.col("n_nationkey") % 4 == 2, F.lit(T.RDF_TYPE))
+            .otherwise(F.lit(21))
+            .cast("int")
+            .alias("p"),
+            (F.col("n_regionkey") + 200).cast("int").alias("o"),
+        )
+    )
+    return triples_to_axioms(edges)
+
+
 def q_rg_prefix_map_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-map-over-OBO precedence (reference LongestFirstPrefixMapping +
     oboPrefixes toggle, Config.scala:48-50): an explicit prefix mapping wins
@@ -502,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rg_ntriples_lines": q_rg_ntriples_lines,
         "rg_prefix_compact": q_rg_prefix_compact,
         "rg_prefix_map_precedence": q_rg_prefix_map_precedence,
+        "rg_triples_to_axioms": q_rg_triples_to_axioms,
         "rg_materialize_fixture": q_rg_materialize_fixture,
         "win_tumbling_hour": q_win_tumbling_hour,
         "win_sliding": q_win_sliding,
@@ -703,6 +726,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT iri,
                regexp_replace(iri, '^http://purl\\.obolibrary\\.org/obo/([^_]+)_(.+)$', '\\1:\\2') AS curie
         FROM i
+    """
+
+    q["rg_triples_to_axioms"] = """
+        WITH e AS (
+          SELECT CAST(n_nationkey + 100 AS INT) AS s,
+                 CAST(CASE WHEN n_nationkey % 4 = 0 THEN 3
+                           WHEN n_nationkey % 4 = 1 THEN 4
+                           WHEN n_nationkey % 4 = 2 THEN 5
+                           ELSE 21 END AS INT) AS p,
+                 CAST(n_regionkey + 200 AS INT) AS o
+          FROM nation
+        )
+        SELECT DISTINCT
+               CAST(CASE WHEN p = 3 THEN 101 WHEN p = 4 THEN 108
+                         WHEN p = 5 THEN 107 ELSE 102 END AS INT) AS atype,
+               CAST(CASE WHEN p = 5 THEN o ELSE s END AS INT) AS s,
+               CAST(CASE WHEN p = 3 THEN o WHEN p = 4 THEN o
+                         WHEN p = 5 THEN s ELSE p END AS INT) AS p,
+               CAST(CASE WHEN p NOT IN (3, 4, 5) THEN o END AS INT) AS o
+        FROM e
     """
 
     q["rg_prefix_map_precedence"] = """

@@ -484,10 +484,14 @@ def save_state_snapshot(state: dict[str, DataFrame], root: str, batch_id: int) -
 
 
 def save_state_delta(deltas: dict[str, DataFrame], root: str, batch_id: int) -> None:
+    # empty deltas are skipped (a missing frame dir loads as empty) — most
+    # batches only grow 2-3 of the 9 frames, and every avoided write is one
+    # fewer Spark job on the per-batch critical path
     for name in STATE_FRAMES:
-        deltas[name].write.mode("overwrite").parquet(
-            os.path.join(root, f"delta={batch_id}", name)
-        )
+        if not deltas[name].isEmpty():
+            deltas[name].write.mode("overwrite").parquet(
+                os.path.join(root, f"delta={batch_id}", name)
+            )
 
 
 def snapshot_batches(root: str) -> list[int]:
@@ -523,7 +527,10 @@ def load_state(
     state = {}
     for name in STATE_FRAMES:
         paths = [os.path.join(root, f"batch={base}", name)] + [
-            os.path.join(root, f"delta={b}", name) for b in deltas
+            p
+            for b in deltas
+            # absent delta dir == empty delta (save_state_delta skips them)
+            if os.path.isdir(p := os.path.join(root, f"delta={b}", name))
         ]
         state[name] = spark.read.parquet(*paths)
     return state, max([base] + deltas)

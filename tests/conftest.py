@@ -8,8 +8,13 @@ def spark():
     s = get_spark(
         app_name="rgs-tests",
         master="local[8]",
-        shuffle_partitions=8,
-        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "10m"},
+        # tiny fixtures: 4 shuffle partitions halves the per-job task count
+        # without changing any plan shape the tests assert on
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "10m",
+            "spark.default.parallelism": "4",
+        },
     )
     yield s
     s.stop()

@@ -32,7 +32,7 @@ def _fold(spark, row_splits):
 
 
 def test_incremental_equals_batch_generated(spark):
-    rows = FX.gen_ontology_rows(120, 4, 220)
+    rows = FX.gen_ontology_rows(60, 3, 120)
     batch = triples(materialize(FX._rows_to_df(spark, rows, "g"), CFG))
     k = len(rows) // 3
     inc = _fold(spark, [rows[:k], rows[k : 2 * k], rows[2 * k :]])

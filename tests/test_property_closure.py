@@ -1,9 +1,13 @@
 """Property-based closure correctness: random DAGs/graphs vs the DuckDB
 WITH RECURSIVE oracle (SURVEY.md section 5 test strategy, item 3)."""
 
+import os
+
 import duckdb
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+_EXAMPLES = 12 if os.environ.get("RGS_SLOW") else 6
 
 
 def oracle_closure(edges):
@@ -33,7 +37,7 @@ edge_lists = st.lists(
 
 
 @settings(
-    max_examples=12,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

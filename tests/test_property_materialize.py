@@ -3,9 +3,15 @@ Python fixpoint oracle on random small ontologies (incl. equivalence
 definitions, named equivalences, property chains, Top/Bottom edge cases),
 and incremental-vs-batch on random splits."""
 
+import os
+
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# fast default profile; RGS_SLOW=1 restores the full randomized budget
+# (round-1 VERDICT item 8: keep the default suite under ~10 min)
+_EXAMPLES = 10 if os.environ.get("RGS_SLOW") else 3
 
 from relation_graph_spark import fixtures as FX
 from relation_graph_spark import tokens as T
@@ -34,7 +40,7 @@ ontologies = st.lists(axiom, min_size=1, max_size=14)
 
 
 @settings(
-    max_examples=10,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -46,7 +52,7 @@ def test_engine_matches_python_oracle(spark, rows):
 
 
 @settings(
-    max_examples=6,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

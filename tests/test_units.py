@@ -342,3 +342,28 @@ def test_two_stage_topk_equals_global_sort(spark):
              scored.orderBy(F.col("cosine_ppm").desc(), F.col("vec_id").asc())
              .limit(7).collect()]
     assert [(v, c) for v, c, _ in got] == brute
+
+
+def test_triples_to_axioms_dispatch(spark):
+    """J6 / reference RelationGraphUtil.scala:33-39 predicate dispatch."""
+    from relation_graph_spark.util import compute_relation_graph, triples_to_axioms
+
+    edges = spark.createDataFrame(
+        [(11, T.SUBCLASSOF, 12), (11, T.EQUIVALENTCLASS, 13),
+         (91, T.RDF_TYPE, 11), (11, 21, 14)],
+        "s: int, p: int, o: int",
+    )
+    got = {tuple(r) for r in triples_to_axioms(edges).collect()}
+    assert got == {
+        (T.AX_SUBCLASS, 11, 12, None),
+        (T.AX_EQUIV_NAMED, 11, 13, None),
+        (T.AX_CLASS_ASSERTION, 11, 91, None),
+        (T.AX_SOME, 11, 21, 14),
+    }
+    # end-to-end: fixture A materialization back to axioms includes the
+    # entailed C SubClassOf (p some D)
+    ax = {
+        tuple(r)
+        for r in compute_relation_graph(FX.materialize_test(spark)).collect()
+    }
+    assert (T.AX_SOME, FX.C_, FX.P_, FX.D_) in ax
