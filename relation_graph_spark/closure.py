@@ -81,7 +81,7 @@ def transitive_closure(
     closure dwarfs memory and rounds are cheap relative to join width.
     """
     ensure_iteration_confs(edges)
-    base = edges.select(F.col(child), F.col(parent)).dropDuplicates().localCheckpoint()
+    base = edges.select(F.col(child), F.col(parent)).dropDuplicates().localCheckpoint(eager=False)
     linear_side = (
         _maybe_broadcast(base, broadcast_row_threshold) if mode == "linear" else None
     )
@@ -106,13 +106,13 @@ def transitive_closure(
         ).dropDuplicates()
         delta = new_pairs.join(
             closure, on=[child, parent], how="left_anti"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         n_new = delta.count()
         if n_new == 0:
             return closure
         if total_rows is not None:
             total_rows += n_new
-        closure = closure.unionByName(delta).localCheckpoint()
+        closure = closure.unionByName(delta).localCheckpoint(eager=False)
     raise FixpointDidNotConverge(
         f"transitive_closure did not converge in {max_iterations} iterations"
     )

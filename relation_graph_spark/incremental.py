@@ -107,8 +107,8 @@ def incremental_tc(
 ) -> tuple[DataFrame, DataFrame]:
     """(new_tc, delta_pairs): extend a closed relation with new edges by
     two-sided delta composition. delta_pairs = new_tc minus old_tc."""
-    delta = delta_edges.join(old_tc, on=["sub", "sup"], how="left_anti").localCheckpoint()
-    closure = old_tc.unionByName(delta).dropDuplicates().localCheckpoint()
+    delta = delta_edges.join(old_tc, on=["sub", "sup"], how="left_anti").localCheckpoint(eager=False)
+    closure = old_tc.unionByName(delta).dropDuplicates().localCheckpoint(eager=False)
     all_delta = delta
     for _ in range(cfg.max_iterations):
         if delta.isEmpty():
@@ -128,10 +128,10 @@ def incremental_tc(
             fwd.unionByName(bwd)
             .dropDuplicates()
             .join(closure, on=["sub", "sup"], how="left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        closure = closure.unionByName(delta).localCheckpoint()
-        all_delta = all_delta.unionByName(delta).localCheckpoint()
+        closure = closure.unionByName(delta).localCheckpoint(eager=False)
+        all_delta = all_delta.unionByName(delta).localCheckpoint(eager=False)
     from relation_graph_spark.closure import FixpointDidNotConverge
 
     raise FixpointDidNotConverge("incremental_tc did not converge")
@@ -173,16 +173,16 @@ def apply_delta(
 
     # ------- monotone fast path: no equivalence feedback anywhere -------
     classes_new = (
-        state["classes"].unionByName(delta_told["classes"]).dropDuplicates().localCheckpoint()
+        state["classes"].unionByName(delta_told["classes"]).dropDuplicates().localCheckpoint(eager=False)
     )
-    props_new = state["props"].unionByName(delta_told["props"]).dropDuplicates().localCheckpoint()
+    props_new = state["props"].unionByName(delta_told["props"]).dropDuplicates().localCheckpoint(eager=False)
 
     d_sc = delta_told["sc"].join(state["sc"], on=["sub", "sup"], how="left_anti")
-    sc_new = state["sc"].unionByName(d_sc).dropDuplicates().localCheckpoint()
+    sc_new = state["sc"].unionByName(d_sc).dropDuplicates().localCheckpoint(eager=False)
     sc_tc_new, d_tc = incremental_tc(state["sc_tc"], d_sc, cfg)
 
     d_sp = delta_told["sp"].join(state["sp"], on=["sub", "sup"], how="left_anti")
-    sp_new = state["sp"].unionByName(d_sp).dropDuplicates().localCheckpoint()
+    sp_new = state["sp"].unionByName(d_sp).dropDuplicates().localCheckpoint(eager=False)
     sp_changed = not d_sp.isEmpty()
     sp_star_new = (
         transitive_closure(
@@ -194,13 +194,13 @@ def apply_delta(
         )
         .unionByName(reflexive(props_new, "p", "sub", "sup"))
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
-    d_some = delta_told["some"].join(state["some"], on=["s", "p", "f"], how="left_anti").localCheckpoint()
-    some_new = state["some"].unionByName(d_some).dropDuplicates().localCheckpoint()
+    d_some = delta_told["some"].join(state["some"], on=["s", "p", "f"], how="left_anti").localCheckpoint(eager=False)
+    some_new = state["some"].unionByName(d_some).dropDuplicates().localCheckpoint(eager=False)
 
-    sc_star_new = _sc_star_of(sc_tc_new, classes_new).localCheckpoint()
+    sc_star_new = _sc_star_of(sc_tc_new, classes_new).localCheckpoint(eager=False)
     # delta closure pairs incl. reflexive/top pairs of newly-seen classes
     d_classes = delta_told["classes"].join(state["classes"], on=["c"], how="left_anti")
     d_star = (
@@ -211,22 +211,46 @@ def apply_delta(
             )
         )
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     thr = cfg.broadcast_row_threshold
-    passes = [
-        # >=1 new subject-closure pair
-        derive_relations(sc_star_new, some_new, sp_star_new, thr, subject_star=d_star),
-        # >=1 new filler-closure pair
-        derive_relations(sc_star_new, some_new, sp_star_new, thr, filler_star=d_star),
+    # measure the shared sides ONCE per batch (broadcast decision +
+    # packability), then hand the decisions to every derivation pass —
+    # saves ~15 count/max scan jobs per micro-batch
+    n_sides = sc_star_new.count() + sp_star_new.count()
+    sides_small = thr > 0 and n_sides <= thr
+    max_tok = (
+        sc_star_new.select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
+        .unionByName(
+            sp_star_new.select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
+        )
+        .unionByName(
+            some_new.select(F.greatest(F.max("s"), F.max("p"), F.max("f")).alias("m"))
+        )
+        .agg(F.max("m"))
+        .collect()[0][0]
+    )
+    kw = {"sides_broadcast": sides_small, "max_token": max_tok or (1 << 40)}
+
+    passes = []
+    if not d_star.isEmpty():
+        # >=1 new subject-closure pair / >=1 new filler-closure pair
+        passes.append(
+            derive_relations(sc_star_new, some_new, sp_star_new, thr, subject_star=d_star, **kw)
+        )
+        passes.append(
+            derive_relations(sc_star_new, some_new, sp_star_new, thr, filler_star=d_star, **kw)
+        )
+    if not d_some.isEmpty():
         # >=1 new told existential
-        derive_relations(sc_star_new, d_some, sp_star_new, thr),
-    ]
+        passes.append(derive_relations(sc_star_new, d_some, sp_star_new, thr, **kw))
     if sp_changed:
         # property hierarchy grew: conservatively re-derive with the full
         # (tiny) property closure over all told existentials
-        passes.append(derive_relations(sc_star_new, some_new, sp_star_new, thr))
+        passes.append(derive_relations(sc_star_new, some_new, sp_star_new, thr, **kw))
+    if not passes:
+        passes = [state["rel"].where(F.lit(False)).select("s", "p", "o")]
     rel_delta = passes[0]
     for p in passes[1:]:
         rel_delta = rel_delta.unionByName(p)
@@ -237,9 +261,9 @@ def apply_delta(
     rel_delta = (
         rel_delta.dropDuplicates()
         .join(state["rel"], on=["s", "p", "o"], how="left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    rel_new = state["rel"].unionByName(rel_delta).localCheckpoint()
+    rel_new = state["rel"].unionByName(rel_delta).localCheckpoint(eager=False)
 
     d_assertions = delta_told["assertions"].join(
         state["assertions"], on=["ind", "c"], how="left_anti"
@@ -306,9 +330,9 @@ def assemble_delta(
     assert not cfg.output_individuals, "delta assembly is class-mode only"
 
     frames = output_frames(state_new, cfg)
-    unsat_new = frames["unsat"].localCheckpoint()
+    unsat_new = frames["unsat"].localCheckpoint(eager=False)
     unsat_b = F.broadcast(unsat_new)
-    unsat_delta = unsat_new.join(prev_unsat, on="c", how="left_anti").localCheckpoint()
+    unsat_delta = unsat_new.join(prev_unsat, on="c", how="left_anti").localCheckpoint(eager=False)
     grew_unsat = not unsat_delta.isEmpty()
     ud_b = F.broadcast(unsat_delta)
 
@@ -365,7 +389,7 @@ def assemble_delta(
             )
             return out.join(unsat_b, out["sup"] == unsat_b["c"], "left_anti")
 
-        scc_delta = _taxo_base(deltas["sc_tc"]).localCheckpoint()
+        scc_delta = _taxo_base(deltas["sc_tc"]).localCheckpoint(eager=False)
         if cfg.equivalence_as_subclass:
             new_rows = new_rows.unionByName(_spo(scc_delta, "sub", T.SUBCLASSOF, "sup"))
         else:
@@ -376,7 +400,7 @@ def assemble_delta(
                     & _not_builtin("sup")
                     & (F.col("sub") != F.col("sup"))
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             rev_all = tc_all.select(
                 F.col("sup").alias("sub"), F.col("sub").alias("sup")
@@ -399,7 +423,7 @@ def assemble_delta(
                     tc_all.join(deltas["sc_tc"], on=["sub", "sup"], how="left_anti")
                 )
                 .join(rev_delta, on=["sub", "sup"], how="left_semi")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             new_rows = new_rows.unionByName(
                 _spo(activated, "sub", T.EQUIVALENTCLASS, "sup")
@@ -419,7 +443,7 @@ def assemble_delta(
                     & (F.col("sub") != F.col("sup"))
                 )
                 .join(ud_b, old_tc["sup"] == ud_b["c"], "left_semi")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             if cfg.equivalence_as_subclass:
                 retracted = retracted.unionByName(

@@ -94,7 +94,7 @@ def _sc_star(sc: DataFrame, classes: DataFrame, cfg: RGConfig):
         F.col("c").alias("sub"), F.lit(T.TOP).cast("int").alias("sup")
     )
     star = (
-        tc.unionByName(refl).unionByName(top).dropDuplicates().localCheckpoint()
+        tc.unionByName(refl).unionByName(top).dropDuplicates().localCheckpoint(eager=False)
     )
     return tc, star
 
@@ -108,6 +108,8 @@ def derive_relations(
     filler_star: DataFrame | None = None,
     hot_key_threshold: int = 1_000_000,
     n_salts: int = 16,
+    sides_broadcast: bool | None = None,
+    max_token: int | None = None,
 ) -> DataFrame:
     """R3: one declarative join chain; Catalyst plans the physical strategy.
 
@@ -138,6 +140,11 @@ def derive_relations(
     """
 
     def _side(df: DataFrame) -> tuple[DataFrame, bool]:
+        # sides_broadcast short-circuits the per-side count jobs when the
+        # caller already knows the sizes (the incremental engine measures
+        # its state once per batch, not once per derivation pass)
+        if sides_broadcast is not None:
+            return (F.broadcast(df), True) if sides_broadcast else (df, False)
         if broadcast_row_threshold > 0 and df.count() <= broadcast_row_threshold:
             return F.broadcast(df), True
         return df, False
@@ -155,18 +162,20 @@ def derive_relations(
     from relation_graph_spark.skew import hot_key_salted_join
 
     # token-packing eligibility: one cheap max() scan over the closure sides
-    max_tok = (
-        sc_star.select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
-        .unionByName(sp_star.select(F.greatest(F.max("sub"), F.max("sup")).alias("m")))
-        .unionByName(
-            some.select(
-                F.greatest(F.max("s"), F.max("p"), F.max("f")).alias("m")
+    # (skipped when the caller hands in a pre-measured max_token)
+    if max_token is None:
+        max_token = (
+            sc_star.select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
+            .unionByName(sp_star.select(F.greatest(F.max("sub"), F.max("sup")).alias("m")))
+            .unionByName(
+                some.select(
+                    F.greatest(F.max("s"), F.max("p"), F.max("f")).alias("m")
+                )
             )
+            .agg(F.max("m"))
+            .collect()[0][0]
         )
-        .agg(F.max("m"))
-        .collect()[0][0]
-    )
-    packable = max_tok is not None and 0 <= max_tok < (1 << _PACK_BITS)
+    packable = max_token is not None and 0 <= max_token < (1 << _PACK_BITS)
 
     # x is any subclass (refl.) of the told subject
     if sub_bcast:
@@ -179,7 +188,7 @@ def derive_relations(
         j1 = hot_key_salted_join(
             some, sub_plain, "s", "sup", n_salts, hot_key_threshold
         ).select(F.col("sub").alias("x"), F.col("p").alias("q"), F.col("f"))
-    s1 = j1.transform(lambda d: _distinct3(d, "x", "q", "f", packable)).localCheckpoint()
+    s1 = j1.transform(lambda d: _distinct3(d, "x", "q", "f", packable)).localCheckpoint(eager=False)
 
     # o is any superclass (refl.) of the told filler
     if fill_bcast:
@@ -190,7 +199,7 @@ def derive_relations(
         j2 = hot_key_salted_join(
             s1, fill_plain, "f", "sub", n_salts, hot_key_threshold
         ).select("x", "q", F.col("sup").alias("o"))
-    s2 = j2.transform(lambda d: _distinct3(d, "x", "q", "o", packable)).localCheckpoint()
+    s2 = j2.transform(lambda d: _distinct3(d, "x", "q", "o", packable)).localCheckpoint(eager=False)
 
     # p is any superproperty (refl.) of the told property — highest average
     # fan-out, so expanded last over already-deduped rows. Stage boundaries
@@ -214,7 +223,7 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
     from relation_graph_spark.closure import ensure_iteration_confs
 
     ensure_iteration_confs(told["classes"])
-    classes = told["classes"].localCheckpoint()
+    classes = told["classes"].localCheckpoint(eager=False)
     props = told["props"]
 
     # R2 once: property closure is independent of the class feedback loop.
@@ -228,14 +237,14 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
         )
         .unionByName(reflexive(props, "p", "sub", "sup"))
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
-    some = told["some"].dropDuplicates().localCheckpoint()
-    def_some = told["def_some"].dropDuplicates().localCheckpoint()
+    some = told["some"].dropDuplicates().localCheckpoint(eager=False)
+    def_some = told["def_some"].dropDuplicates().localCheckpoint(eager=False)
     has_feedback = not def_some.isEmpty()
 
-    sc = told["sc"].dropDuplicates().localCheckpoint()
+    sc = told["sc"].dropDuplicates().localCheckpoint(eager=False)
     rel = None
     sc_star = None
     sc_tc = None
@@ -243,7 +252,7 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
         sc_tc, sc_star = _sc_star(sc, classes, cfg)
         rel = derive_relations(
             sc_star, some, sp_star, cfg.broadcast_row_threshold
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         if not has_feedback:
             break
         # R4: x subClassOf F whenever x satisfies F's definition (p some y).
@@ -257,11 +266,11 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
             .where(F.col("sub") != F.col("sup"))
             .dropDuplicates()
             .join(sc, on=["sub", "sup"], how="left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if new_sc.isEmpty():
             break
-        sc = sc.unionByName(new_sc).localCheckpoint()
+        sc = sc.unionByName(new_sc).localCheckpoint(eager=False)
     else:
         raise FixpointDidNotConverge(
             f"R4 feedback loop did not converge in {cfg.max_iterations} rounds"
@@ -300,13 +309,13 @@ def compute_unsat(sc_star: DataFrame, some: DataFrame, cfg: RGConfig) -> DataFra
     no fact-table shuffle."""
     if cfg.disable_owl_nothing:
         return (
-            sc_star.where(F.lit(False)).select(F.col("sub").alias("c")).localCheckpoint()
+            sc_star.where(F.lit(False)).select(F.col("sub").alias("c")).localCheckpoint(eager=False)
         )
     unsat = (
         sc_star.where(F.col("sup") == T.BOT)
         .select(F.col("sub").alias("c"))
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     if unsat.isEmpty():
         # common case: nothing under owl:Nothing — skip the bottom-rule loop
@@ -327,11 +336,11 @@ def compute_unsat(sc_star: DataFrame, some: DataFrame, cfg: RGConfig) -> DataFra
             .select(F.col("sub").alias("c"))
             .dropDuplicates()
             .join(unsat, on="c", how="left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if new.isEmpty():
             return unsat
-        unsat = unsat.unionByName(new).localCheckpoint()
+        unsat = unsat.unionByName(new).localCheckpoint(eager=False)
     raise FixpointDidNotConverge("bottom-rule unsat fixpoint did not converge")
 
 
