@@ -377,6 +377,16 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=4)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components (min-label) over
+    the capped LSH candidate pairs; singletons keep their own id."""
+    from relation_graph_spark.ops.dedup import duplicate_clusters, lsh_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, num_hashes=8, band_size=2, max_bucket_size=64)
+    return duplicate_clusters(docs, pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from relation_graph_spark.ops.dedup import simhash
 
@@ -537,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -907,6 +918,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(SUM(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id
+    """
+
+    q["dedup_clusters"] = f"""
+        WITH RECURSIVE sigs AS (
+          SELECT doc_id, {", ".join(_mh(k) for k in range(8))}
+          FROM (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents)
+          GROUP BY doc_id
+        ),
+        bands0 AS (
+          SELECT doc_id, unnest([
+            '0' || '|' || mh0 || '|' || mh1,
+            '1' || '|' || mh2 || '|' || mh3,
+            '2' || '|' || mh4 || '|' || mh5,
+            '3' || '|' || mh6 || '|' || mh7
+          ]) AS bucket FROM sigs
+        ),
+        bands AS (
+          SELECT doc_id, bucket FROM (
+            SELECT doc_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bn
+            FROM bands0
+          ) WHERE bn <= 64
+        ),
+        p AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+        ),
+        e AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+        reach(n, m) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.y, r.m FROM reach r JOIN e ON e.x = r.n
+        )
+        SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
     """
 
     q["text_token_stats"] = """

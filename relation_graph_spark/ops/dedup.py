@@ -138,6 +138,66 @@ def lsh_candidate_pairs(
     )
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Assign every document to a duplicate cluster: connected components
+    over the candidate-pair graph, cluster_id = min doc_id in the component
+    (docs in no pair are their own singleton cluster).
+
+    Min-label propagation, semi-naive: each round joins the CHANGED labels
+    against the (symmetrized) edge list and keeps strict improvements —
+    O(component diameter) rounds; near-dup components are shallow (stars
+    around a canonical doc), so this converges in 2-4 rounds in practice.
+    Every round is one shuffle on the node key; labels and edges are both
+    (id, id) ints. At extreme scale swap in the large-star/small-star
+    contraction — the operator contract (docs, pairs) -> (doc_id,
+    cluster_id) stays identical.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .unionByName(pairs.select(F.col(b).alias("x"), F.col(a).alias("y")))
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    labels = docs.select(
+        F.col(doc_col).alias("node"), F.col(doc_col).alias("label")
+    ).dropDuplicates()
+    changed = labels
+    for _ in range(max_iterations):
+        # labels reachable over one hop from nodes whose label just improved
+        prop = (
+            changed.join(edges, changed["node"] == edges["x"])
+            .select(F.col("y").alias("node"), F.col("label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        improved = (
+            labels.join(prop, on="node", how="inner")
+            .where(F.col("new_label") < F.col("label"))
+            .select("node", F.col("new_label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        if improved.isEmpty():
+            break
+        labels = (
+            labels.join(improved.select("node"), on="node", how="left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=False)
+        )
+        changed = improved
+    else:
+        raise RuntimeError("duplicate_clusters did not converge")
+    return labels.select(
+        F.col("node").alias(doc_col), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Simhash fingerprint: per token a `bits`-wide md5-derived hash; each bit
     votes +1/-1 weighted by presence; bit set where the vote sum is positive.

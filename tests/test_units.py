@@ -367,3 +367,17 @@ def test_triples_to_axioms_dispatch(spark):
         for r in compute_relation_graph(FX.materialize_test(spark)).collect()
     }
     assert (T.AX_SOME, FX.C_, FX.P_, FX.D_) in ax
+
+
+def test_duplicate_clusters_min_label(spark):
+    from relation_graph_spark.ops.dedup import duplicate_clusters
+
+    docs = _docs(spark, ["a", "b", "c", "d", "e", "f"])  # ids 0..5
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 4)], "doc_a: bigint, doc_b: bigint"
+    )
+    got = {
+        (r.doc_id, r.cluster_id) for r in duplicate_clusters(docs, pairs).collect()
+    }
+    # components: {1,3,5} -> 1, {2,4} -> 2, singletons 0 and 5-less rest
+    assert got == {(0, 0), (1, 1), (3, 1), (5, 1), (2, 2), (4, 2)}
