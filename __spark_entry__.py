@@ -252,6 +252,21 @@ def q_rg_prefix_map_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_closure_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tumbling-window transitive closure (the north star's 'fixpoint
+    per window'): forest edges synthesized from events, closed within each
+    1-hour window only — all windows in one distributed job."""
+    from relation_graph_spark.streaming.windows import windowed_transitive_closure
+
+    events = _t(spark, sf_dir, "events")
+    edges = events.select(
+        F.col("ts"),
+        (F.col("event_id") % 500 + 100).cast("bigint").alias("child"),
+        (F.expr("(event_id % 500) div 7") + 100).cast("bigint").alias("parent"),
+    ).where(F.col("child") != F.col("parent"))
+    return windowed_transitive_closure(edges, "1 hour")
+
+
 def q_win_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     from relation_graph_spark.streaming.windows import tumbling_agg
 
@@ -537,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rg_triples_to_axioms": q_rg_triples_to_axioms,
         "rg_materialize_fixture": q_rg_materialize_fixture,
         "win_tumbling_hour": q_win_tumbling_hour,
+        "win_closure_per_window": q_win_closure_per_window,
         "win_sliding": q_win_sliding,
         "win_session_user": q_win_session_user,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -780,6 +796,23 @@ def oracle_sql() -> dict[str, str]:
                END AS curie,
                iri AS curie_no_obo
         FROM i
+    """
+
+    q["win_closure_per_window"] = """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+                 CAST(event_id % 500 + 100 AS BIGINT) AS child,
+                 CAST((event_id % 500) // 7 + 100 AS BIGINT) AS parent
+          FROM events
+          WHERE event_id % 500 + 100 <> (event_id % 500) // 7 + 100
+        ),
+        tc(win_start, child, parent) AS (
+          SELECT win_start, child, parent FROM e
+          UNION
+          SELECT tc.win_start, tc.child, e.parent
+          FROM tc JOIN e ON tc.parent = e.child AND tc.win_start = e.win_start
+        )
+        SELECT win_start, child, parent FROM tc
     """
 
     q["win_tumbling_hour"] = """

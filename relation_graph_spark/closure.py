@@ -64,12 +64,18 @@ def transitive_closure(
     max_iterations: int = 200,
     broadcast_row_threshold: int = 5_000_000,
     mode: str = "smart",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Non-reflexive transitive closure of an edge DataFrame.
 
     `edges` has two columns named by `child`/`parent`; returns a DataFrame
     with the same two columns containing every pair (x, z) such that a
     directed path x -> ... -> z exists. Result is deduplicated.
+
+    `group_cols` scopes the closure: paths never cross groups (the
+    per-window fixpoint of the north star — one tumbling/sliding window per
+    group value — computed for ALL groups in one distributed job: the join
+    key is simply (group..., node), no per-window driver loop).
 
     mode='smart' (default): each round composes the delta with the FULL
     accumulated closure, so reachable path length doubles per round —
@@ -81,7 +87,9 @@ def transitive_closure(
     closure dwarfs memory and rounds are cheap relative to join width.
     """
     ensure_iteration_confs(edges)
-    base = edges.select(F.col(child), F.col(parent)).dropDuplicates().localCheckpoint(eager=False)
+    groups = list(group_cols or [])
+    cols = groups + [child, parent]
+    base = edges.select(*[F.col(c) for c in cols]).dropDuplicates().localCheckpoint(eager=False)
     linear_side = (
         _maybe_broadcast(base, broadcast_row_threshold) if mode == "linear" else None
     )
@@ -98,14 +106,17 @@ def transitive_closure(
             )
         else:
             join_side = linear_side
-        grown = delta.alias("d").join(
-            join_side.alias("e"), F.col(f"d.{parent}") == F.col(f"e.{child}")
-        )
+        cond = F.col(f"d.{parent}") == F.col(f"e.{child}")
+        for g in groups:
+            cond = cond & (F.col(f"d.{g}") == F.col(f"e.{g}"))
+        grown = delta.alias("d").join(join_side.alias("e"), cond)
         new_pairs = grown.select(
-            F.col(f"d.{child}").alias(child), F.col(f"e.{parent}").alias(parent)
+            *[F.col(f"d.{g}") for g in groups],
+            F.col(f"d.{child}").alias(child),
+            F.col(f"e.{parent}").alias(parent),
         ).dropDuplicates()
         delta = new_pairs.join(
-            closure, on=[child, parent], how="left_anti"
+            closure, on=cols, how="left_anti"
         ).localCheckpoint(eager=False)
         n_new = delta.count()
         if n_new == 0:

@@ -78,3 +78,25 @@ def session_agg(
         )
         .select(F.col(key_col), "first_ts", "last_ts", "n_events")
     )
+
+
+def windowed_transitive_closure(
+    edges_ts: "DataFrame",
+    duration: str,
+    child: str = "child",
+    parent: str = "parent",
+    ts_col: str = "ts",
+) -> "DataFrame":
+    """Per-tumbling-window fixpoint (the north star's 'until fixpoint per
+    window'): scope the transitive closure to each event-time window — paths
+    never cross windows — computed for every window in ONE distributed job
+    (the window start is just another join/dedup key; no per-window loop).
+    Returns (win_start, child, parent)."""
+    import pyspark.sql.functions as F
+
+    from relation_graph_spark.closure import transitive_closure
+
+    win_edges = edges_ts.select(
+        F.window(ts_col, duration).start.alias("win_start"), child, parent
+    )
+    return transitive_closure(win_edges, child=child, parent=parent, group_cols=["win_start"])

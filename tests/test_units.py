@@ -381,3 +381,17 @@ def test_duplicate_clusters_min_label(spark):
     }
     # components: {1,3,5} -> 1, {2,4} -> 2, singletons 0 and 5-less rest
     assert got == {(0, 0), (1, 1), (3, 1), (5, 1), (2, 2), (4, 2)}
+
+
+def test_grouped_transitive_closure_no_cross_group_paths(spark):
+    from relation_graph_spark.closure import transitive_closure
+
+    edges = spark.createDataFrame(
+        [("w1", 1, 2), ("w1", 2, 3), ("w2", 2, 3), ("w2", 3, 4)],
+        "g: string, child: bigint, parent: bigint",
+    )
+    got = {tuple(r) for r in transitive_closure(edges, group_cols=["g"]).collect()}
+    assert got == {
+        ("w1", 1, 2), ("w1", 2, 3), ("w1", 1, 3),
+        ("w2", 2, 3), ("w2", 3, 4), ("w2", 2, 4),
+    }
