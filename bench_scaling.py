@@ -42,6 +42,27 @@ def worker(cpus: int, n_classes: int, n_props: int, n_some: int,
         t0 = time.time()
         edges = materialize(seq, cfg).count()
         sec = time.time() - t0
+    elif op == "quality":  # regex-bound text analysis: high compute-per-byte
+        import pyspark.sql.functions as F
+
+        from relation_graph_spark.ops.text import quality_score
+
+        words = F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.substring(F.md5((F.col("id") * 61 + i).cast("string")), 1, 8),
+        )
+        docs = spark.range(0, n_some, 1, 32).select(
+            F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+        ).localCheckpoint()
+        docs.count()
+        t0 = time.time()
+        out = quality_score(docs)
+        # consume EVERY output column: a bare count() lets Catalyst prune
+        # the aggregate/projection work entirely (measured 5M docs/s "regex"
+        # = no regex at all). xxhash64 over all columns forces evaluation.
+        out.agg(F.expr(f"bit_xor(xxhash64({', '.join(out.columns)}))")).collect()
+        edges = n_some
+        sec = time.time() - t0
     else:  # minhash: CPU-per-byte-heavy operator over a synthetic corpus
         import pyspark.sql.functions as F
 
@@ -54,8 +75,13 @@ def worker(cpus: int, n_classes: int, n_props: int, n_some: int,
         docs = spark.range(0, n_some, 1, 32).select(
             F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
         ).localCheckpoint()
+        docs.count()
         t0 = time.time()
-        edges = minhash_signatures(docs, num_hashes=8).count()
+        out = minhash_signatures(docs, num_hashes=8)
+        # force all K minhash columns (count() would prune the min(md5)
+        # aggregate expressions down to a distinct-count of doc_id)
+        out.agg(F.expr(f"bit_xor(xxhash64({', '.join(out.columns)}))")).collect()
+        edges = n_some
         sec = time.time() - t0
 
     print(
@@ -98,7 +124,7 @@ def main() -> None:
     ap.add_argument("--classes", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_CLASSES", "100000")))
     ap.add_argument("--props", type=int, default=16)
     ap.add_argument("--some", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_SOME", "1000000")))
-    ap.add_argument("--op", choices=["closure", "minhash"], default="closure")
+    ap.add_argument("--op", choices=["closure", "minhash", "quality"], default="closure")
     ap.add_argument("--master-spec", default=None,
                     help="e.g. local-cluster[8,4,6144] for real executor JVMs")
     args = ap.parse_args()
