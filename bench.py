@@ -66,9 +66,15 @@ def main():
         "ann_cosine_topk",
         "rg_incremental_stream",
     ]
+    import pyspark.sql.functions as F
+
     for name in suite:
         t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
+        out = qs[name](spark, sf_dir)
+        # consume every output column: a bare count() lets Catalyst prune
+        # projection-only work (e.g. text_quality would time an input-row
+        # count, not the regex analysis)
+        out.agg(F.expr(f"bit_xor(xxhash64({', '.join(out.columns)}))")).collect()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
