@@ -40,3 +40,42 @@ def test_tsv_mode_compacted(spark):
     rows = {(r.s, r.p, r.o) for r in out.collect()}
     assert ("ex:A", "ex:p", "ex:D") in rows
     assert all(s.startswith("ex:") for s, _, _ in rows)
+
+
+def test_owl_mode_individual_reified_via_rdf_type(spark):
+    """Individual-subject existential edges reify with rdf:type as the
+    linking predicate (owlTriples(..., RDFType), RelationGraph.scala:149);
+    class-subject edges keep rdfs:subClassOf; ind-type taxonomy rows pass
+    through unreified."""
+    from relation_graph_spark import tokens as T
+    from relation_graph_spark.schema import VOCAB_SCHEMA
+
+    rows = list(FX.MATERIALIZE_TEST_ROWS) + [[T.AX_CLASS_ASSERTION, FX.C_, 91]]
+    df = FX._rows_to_df(spark, rows, "ind_owl_test")
+    vocab_rows = [(91, f"{NS}ind91", "individual")]
+    vocab = FX.materialize_test_vocab(spark).unionByName(
+        spark.createDataFrame(vocab_rows, VOCAB_SCHEMA)
+    )
+    cfg = RGConfig(
+        mode=OutputMode.OWL,
+        output_subclasses=True,
+        reflexive_subclasses=False,
+        output_individuals=True,
+    )
+    out = materialize_presented(df, cfg, vocab)
+    rows_out = [(r.s, r.p, r.o) for r in out.collect()]
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    subclass_of = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    ind = f"{NS}ind91"
+    # the individual's existential edge (91 p D) links via rdf:type
+    ind_links = [(s, p, o) for s, p, o in rows_out if s == ind and o.startswith("_:")]
+    assert ind_links and all(p == rdf_type for _, p, _ in ind_links)
+    # class-subject existential edges still link via rdfs:subClassOf
+    cls_links = [
+        (s, p, o) for s, p, o in rows_out
+        if s == f"{NS}C" and o.startswith("_:")
+    ]
+    assert cls_links and all(p == subclass_of for _, p, _ in cls_links)
+    # individual taxonomy rows (ind rdf:type C/B/A) pass through unreified
+    assert (ind, rdf_type, f"{NS}C") in rows_out
+    assert (ind, rdf_type, f"{NS}A") in rows_out
