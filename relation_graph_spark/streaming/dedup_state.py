@@ -67,3 +67,17 @@ def dedup_edges_stateful(hashed_edges: DataFrame, n_buckets: int = 32) -> DataFr
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_edges_within_watermark(
+    hashed_edges_ts: DataFrame, delay: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Bounded-lateness dedup tier: Spark's native
+    dropDuplicatesWithinWatermark — state for an edge_hash is evictable once
+    the watermark passes its event time + delay, so state stays bounded by
+    the lateness horizon instead of growing forever (the right tier when
+    upstream replays/duplicates arrive within a known window; the
+    applyInPandasWithState store above is the unbounded-exact tier)."""
+    return hashed_edges_ts.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["edge_hash"]
+    )

@@ -315,3 +315,45 @@ def test_watermarked_window_aggregation(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     got = {(r.win_start.second, r.n) for r in rows}
     assert (0, 5) in got
+
+
+def test_dedup_within_watermark_operator(spark, tmp_path):
+    """Native bounded-lateness dedup: duplicates within the watermark delay
+    are dropped; state is evictable (contrast with the unbounded
+    applyInPandasWithState store)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from relation_graph_spark.streaming.dedup_state import dedup_edges_within_watermark
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    pq.write_table(
+        pa.table({"edge_hash": ["h1", "h2", "h1"], "ts": [t(0), t(1), t(2)]}),
+        os.path.join(inp, "b0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"edge_hash": ["h2", "h3"], "ts": [t(3), t(4)]}),
+        os.path.join(inp, "b1.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("edge_hash string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    deduped = dedup_edges_within_watermark(stream, delay="1 hour")
+    out_dir = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.edge_hash for r in spark.read.parquet(out_dir).collect())
+    assert got == ["h1", "h2", "h3"]
