@@ -40,9 +40,15 @@ def _write_batches(spark, base_dir, splits, ts_override=None):
     return paths
 
 
+_seq_file_counter = [0]
+
+
 def write_seq_file(base_dir, name, row_dicts):
     """Write one plain parquet FILE (not a Spark dir) so the streaming file
-    source sees exactly one file per intended micro-batch."""
+    source sees exactly one file per intended micro-batch. Sets strictly
+    increasing mtimes: the file source orders batches by modification time
+    and breaks same-millisecond ties nondeterministically, which would
+    scramble the intended batch order."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -58,6 +64,9 @@ def write_seq_file(base_dir, name, row_dicts):
     table = pa.Table.from_pylist(row_dicts, schema=schema)
     p = os.path.join(base_dir, name)
     pq.write_table(table, p)
+    _seq_file_counter[0] += 1
+    t = 1_700_000_000 + _seq_file_counter[0] * 10
+    os.utime(p, (t, t))
     return p
 
 
