@@ -532,6 +532,14 @@ def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_byte_features(media, dim=8)
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: evenly-spaced byte offsets + sampled byte per
+    media payload, pure column expressions."""
+    from relation_graph_spark.ops.multimodal import sample_frames, synthesize_media
+
+    return sample_frames(synthesize_media(_t(spark, sf_dir, "documents")), n_frames=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: R3 existential materialization over sf0.001 (driver smoke)."""
     return q_rg_exist_rel_star(spark, SF_DEFAULT)
@@ -573,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_near_dup_pairs": q_ann_near_dup_pairs,
         "mm_decode_features": q_mm_decode_features,
+        "mm_frame_sample": q_mm_frame_sample,
         "rg_incremental_stream": q_rg_incremental_stream,
     }
 
@@ -1161,6 +1170,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, cosine_ppm,
                CAST(row_number() OVER (ORDER BY cosine_ppm DESC, vec_id ASC) AS INT) AS rank
         FROM s QUALIFY rank <= 10
+    """
+
+    q["mm_frame_sample"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id, text, length(text) AS n_bytes
+          FROM documents WHERE length(text) > 0
+        ),
+        f AS (
+          SELECT media_id, text, n_bytes, unnest(range(4)) AS frame_idx FROM m
+        )
+        SELECT CAST(media_id AS BIGINT) AS media_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(1 + (frame_idx * n_bytes) // 4 AS BIGINT) AS byte_offset,
+               CAST(ascii(substr(text, CAST(1 + (frame_idx * n_bytes) // 4 AS INT), 1)) AS INT) AS sample_byte
+        FROM f
     """
 
     # payload bytes == code points because the synthetic documents are pure

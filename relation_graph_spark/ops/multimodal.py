@@ -103,6 +103,37 @@ def payload_byte_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video/audio payloads: emit `n_frames`
+    evenly-spaced sample positions per media item with the byte found there
+    — entirely JVM column expressions (sequence + explode + substring), so
+    the sampling plan is whole-stage-codegen'd and the (huge) payload column
+    is read once per row.
+
+    A real deployment replaces "byte at offset" with "decoded frame at
+    timestamp" inside the same exploded shape (decode lives behind
+    `decode_image_features`, stubbed here); offsets are
+    1 + floor(k * n_bytes / n_frames) — deterministic, oracle-checkable.
+    """
+    n_bytes = F.length("payload").cast("bigint")
+    frames = media.select(
+        "media_id",
+        n_bytes.alias("n_bytes"),
+        F.col("payload"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
+    ).where(n_bytes > 0)
+    offset = F.expr(f"1 + (frame_idx * n_bytes) div {n_frames}")  # exact int
+    # payloads here are UTF-8 text bytes (synthesize_media); real binary
+    # payloads swap decode() for a direct byte slice
+    sample = F.ascii(F.decode(F.col("payload"), "UTF-8").substr(offset, F.lit(1)))
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        offset.alias("byte_offset"),
+        sample.cast("int").alias("sample_byte"),
+    )
+
+
 def decode_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Real image/audio decode + feature extraction — STUB.
 

@@ -395,3 +395,17 @@ def test_grouped_transitive_closure_no_cross_group_paths(spark):
         ("w1", 1, 2), ("w1", 2, 3), ("w1", 1, 3),
         ("w2", 2, 3), ("w2", 3, 4), ("w2", 2, 4),
     }
+
+
+def test_frame_sample_offsets_and_bytes(spark):
+    from relation_graph_spark.ops.multimodal import sample_frames, synthesize_media
+
+    docs = _docs(spark, ["abcdefgh"])  # 8 bytes
+    got = {
+        (r.frame_idx, r.byte_offset, r.sample_byte)
+        for r in sample_frames(synthesize_media(docs), n_frames=4).collect()
+    }
+    # offsets 1,3,5,7 -> bytes a,c,e,g
+    assert got == {
+        (0, 1, ord("a")), (1, 3, ord("c")), (2, 5, ord("e")), (3, 7, ord("g"))
+    }
