@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
+    os.environ["RGS_PRUNE_EVIDENCE"] = "1"
+    from relation_graph_spark import incremental
     from relation_graph_spark.config import RGConfig
     from relation_graph_spark.fixtures import gen_ontology_rows, _rows_to_df
     from relation_graph_spark.materialize import materialize
@@ -99,6 +101,20 @@ def main():
     ratio = (
         round(per_batch[-1] / per_batch[2], 3) if len(per_batch) >= 3 else None
     )
+    # bucket-pruned history-join evidence: per fast-path batch, the bytes the
+    # rel-history anti-join scans (delta-touched bucket dirs) vs the total
+    # persisted rel state at that moment
+    prune = [
+        {
+            **s,
+            "scan_fraction": (
+                round(s["touched_bytes"] / s["total_bytes"], 4)
+                if s["total_bytes"]
+                else None
+            ),
+        }
+        for s in incremental.PRUNE_STATS
+    ]
     print(
         json.dumps(
             {
@@ -112,6 +128,8 @@ def main():
                 "classes": args.classes,
                 "some": args.some,
                 "cpus": args.cpus,
+                "rel_buckets": incremental.REL_BUCKETS,
+                "history_join_pruning": prune,
             }
         )
     )

@@ -63,6 +63,81 @@ STATE_FRAMES = [
     "rel",  # accumulated R3 output
 ]
 
+# The accumulated `rel` frame — the only state frame that grows with the
+# input stream rather than the vocabulary — is persisted HASH-BUCKETED by
+# pmod(xxhash64(s, p, o), REL_BUCKETS) (partitionBy("bucket") on write, the
+# offline analog of a bucket-partitioned Iceberg state table). The per-batch
+# rel-delta dedup anti-join then reads ONLY the buckets the delta touches
+# (partition pruning at the parquet scan), so the history side of the one
+# O(|rel|) join in the fast path is bounded by delta-touched buckets, not
+# total history. At cluster scale the same layout makes the anti-join a
+# storage-partitioned join.
+REL_BUCKETS = int(os.environ.get("RGS_REL_BUCKETS", "32"))
+
+
+def _rel_bucket() -> F.Column:
+    return F.pmod(
+        F.xxhash64(F.col("s"), F.col("p"), F.col("o")), F.lit(REL_BUCKETS)
+    ).cast("int")
+
+
+def _paths_with_files(paths: list[str]) -> list[str]:
+    """A partitionBy write of an empty frame leaves a dir with no data files
+    (nothing to name a partition dir after) — filter those out before read."""
+    out = []
+    for p in paths:
+        for _root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                out.append(p)
+                break
+    return out
+
+
+def _read_rel_bucketed(spark: SparkSession, rel_paths: list[str]) -> DataFrame:
+    """One scan per snapshot/delta root, unioned: Spark's partition discovery
+    refuses multiple roots in a single read, and a bucket filter above the
+    union still pushes down into every scan (partition pruning per root)."""
+    live = _paths_with_files(rel_paths)
+    if not live:
+        return spark.createDataFrame([], "s int, p int, o int, bucket int")
+    df = spark.read.parquet(live[0])
+    for p in live[1:]:
+        df = df.unionByName(spark.read.parquet(p))
+    return df
+
+
+def read_rel(spark: SparkSession, rel_paths: list[str]) -> DataFrame:
+    """Disk-backed logical view of the accumulated rel (bucket column
+    dropped); snapshot + delta paths are disjoint by construction."""
+    return _read_rel_bucketed(spark, rel_paths).drop("bucket")
+
+
+# per-batch pruning evidence, populated when RGS_PRUNE_EVIDENCE is set:
+# {"touched_buckets": n, "touched_bytes": b, "total_bytes": B} per fast-path
+# batch — bench_stream reports touched/total to show the history-side scan
+# is bounded by the delta's bucket footprint, not total history
+PRUNE_STATS: list[dict] = []
+
+
+def _prune_evidence(rel_paths: list[str], touched: list[int]) -> dict:
+    tset = {f"bucket={b}" for b in touched}
+    touched_bytes = total_bytes = 0
+    for root_path in rel_paths:
+        for droot, _dirs, files in os.walk(root_path):
+            sz = sum(
+                os.path.getsize(os.path.join(droot, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+            total_bytes += sz
+            if os.path.basename(droot) in tset:
+                touched_bytes += sz
+    return {
+        "touched_buckets": len(touched),
+        "touched_bytes": touched_bytes,
+        "total_bytes": total_bytes,
+    }
+
 
 def _sc_star_of(sc_tc: DataFrame, classes: DataFrame) -> DataFrame:
     refl = reflexive(classes, "c", "sub", "sup")
@@ -82,14 +157,63 @@ def initial_state(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, DataFr
         "assertions": told["assertions"].dropDuplicates(),
         "sc_tc": m["sc_closure"],
         "rel": m["rel"],
+        # derived carry-forward, seeded from the fixpoint's own frames
+        "_sc_star": m["sc_star"],
+        "_sp_star": m["sp_star"],
     }
+
+
+def _ensure_derived(state: dict[str, DataFrame], cfg: RGConfig) -> None:
+    """Populate the in-memory derived-frame/stat cache if absent (fresh
+    restart or a state produced before these keys existed). One-time
+    O(closure) cost per process, not per batch."""
+    if "_sc_star" not in state:
+        state["_sc_star"] = _sc_star_of(
+            state["sc_tc"], state["classes"]
+        ).localCheckpoint(eager=False)
+    if "_sp_star" not in state:
+        state["_sp_star"] = (
+            transitive_closure(
+                state["sp"],
+                child="sub",
+                parent="sup",
+                max_iterations=cfg.max_iterations,
+                broadcast_row_threshold=cfg.broadcast_row_threshold,
+            )
+            .unionByName(reflexive(state["props"], "p", "sub", "sup"))
+            .dropDuplicates()
+            .localCheckpoint(eager=False)
+        )
+    if "_n_sc_star" not in state:
+        state["_n_sc_star"] = state["_sc_star"].count()
+    if "_n_sp_star" not in state:
+        state["_n_sp_star"] = state["_sp_star"].count()
+    if "_max_token" not in state:
+        state["_max_token"] = (
+            state["_sc_star"]
+            .select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
+            .unionByName(
+                state["_sp_star"].select(
+                    F.greatest(F.max("sub"), F.max("sup")).alias("m")
+                )
+            )
+            .unionByName(
+                state["some"].select(
+                    F.greatest(F.max("s"), F.max("p"), F.max("f")).alias("m")
+                )
+            )
+            .agg(F.max("m"))
+            .collect()[0][0]
+        )
 
 
 def output_frames(state: dict[str, DataFrame], cfg: RGConfig) -> dict[str, DataFrame]:
     """Reconstruct the frame dict assemble_output expects from a state."""
     from relation_graph_spark.materialize import compute_unsat
 
-    sc_star = _sc_star_of(state["sc_tc"], state["classes"])
+    sc_star = state.get("_sc_star")
+    if sc_star is None:
+        sc_star = _sc_star_of(state["sc_tc"], state["classes"])
     return {
         "rel": state["rel"],
         "sc_closure": state["sc_tc"],
@@ -106,9 +230,18 @@ def incremental_tc(
     cfg: RGConfig,
 ) -> tuple[DataFrame, DataFrame]:
     """(new_tc, delta_pairs): extend a closed relation with new edges by
-    two-sided delta composition. delta_pairs = new_tc minus old_tc."""
-    delta = delta_edges.join(old_tc, on=["sub", "sup"], how="left_anti").localCheckpoint(eager=False)
-    closure = old_tc.unionByName(delta).dropDuplicates().localCheckpoint(eager=False)
+    two-sided delta composition. delta_pairs = new_tc minus old_tc.
+
+    Per-round work is delta x closure joins plus a delta-sized dedup; the
+    closure itself is only ever UNIONED (the delta is anti-joined disjoint
+    first), never re-deduplicated — no O(closure) shuffle per batch."""
+    side0 = _bcast_if_small(old_tc, cfg.broadcast_row_threshold)
+    delta = (
+        delta_edges.dropDuplicates()
+        .join(side0, on=["sub", "sup"], how="left_anti")
+        .localCheckpoint(eager=False)
+    )
+    closure = old_tc.unionByName(delta).localCheckpoint(eager=False)
     all_delta = delta
     for _ in range(cfg.max_iterations):
         if delta.isEmpty():
@@ -127,7 +260,7 @@ def incremental_tc(
         delta = (
             fwd.unionByName(bwd)
             .dropDuplicates()
-            .join(closure, on=["sub", "sup"], how="left_anti")
+            .join(side, on=["sub", "sup"], how="left_anti")
             .localCheckpoint(eager=False)
         )
         closure = closure.unionByName(delta).localCheckpoint(eager=False)
@@ -172,69 +305,120 @@ def apply_delta(
         return initial_state(merged, cfg), None
 
     # ------- monotone fast path: no equivalence feedback anywhere -------
-    classes_new = (
-        state["classes"].unionByName(delta_told["classes"]).dropDuplicates().localCheckpoint(eager=False)
-    )
-    props_new = state["props"].unionByName(delta_told["props"]).dropDuplicates().localCheckpoint(eager=False)
+    #
+    # Every `X_new` below is a DISJOINT union: the delta is deduplicated at
+    # its own (batch) size, anti-joined against the state frame, then
+    # unioned plain — no O(state) dropDuplicates shuffle anywhere in the
+    # per-batch path. Derived frames (sc_star, sp_star) and scalar stats
+    # (side row counts, max token) are carried forward incrementally via
+    # cache keys ("_sc_star", "_sp_star", "_n_sides", "_max_token") instead
+    # of being recomputed from the full state each batch.
+    _ensure_derived(state, cfg)
 
-    d_sc = delta_told["sc"].join(state["sc"], on=["sub", "sup"], how="left_anti")
-    sc_new = state["sc"].unionByName(d_sc).dropDuplicates().localCheckpoint(eager=False)
-    sc_tc_new, d_tc = incremental_tc(state["sc_tc"], d_sc, cfg)
-
-    d_sp = delta_told["sp"].join(state["sp"], on=["sub", "sup"], how="left_anti")
-    sp_new = state["sp"].unionByName(d_sp).dropDuplicates().localCheckpoint(eager=False)
-    sp_changed = not d_sp.isEmpty()
-    sp_star_new = (
-        transitive_closure(
-            sp_new,
-            child="sub",
-            parent="sup",
-            max_iterations=cfg.max_iterations,
-            broadcast_row_threshold=cfg.broadcast_row_threshold,
-        )
-        .unionByName(reflexive(props_new, "p", "sub", "sup"))
-        .dropDuplicates()
+    d_classes = (
+        delta_told["classes"].join(state["classes"], on=["c"], how="left_anti")
         .localCheckpoint(eager=False)
     )
+    classes_new = state["classes"].unionByName(d_classes).localCheckpoint(eager=False)
+    d_props = (
+        delta_told["props"].join(state["props"], on=["p"], how="left_anti")
+        .localCheckpoint(eager=False)
+    )
+    props_new = state["props"].unionByName(d_props).localCheckpoint(eager=False)
 
-    d_some = delta_told["some"].join(state["some"], on=["s", "p", "f"], how="left_anti").localCheckpoint(eager=False)
-    some_new = state["some"].unionByName(d_some).dropDuplicates().localCheckpoint(eager=False)
+    d_sc = (
+        delta_told["sc"].dropDuplicates()
+        .join(state["sc"], on=["sub", "sup"], how="left_anti")
+        .localCheckpoint(eager=False)
+    )
+    sc_new = state["sc"].unionByName(d_sc)
+    sc_tc_new, d_tc = incremental_tc(state["sc_tc"], d_sc, cfg)
 
-    sc_star_new = _sc_star_of(sc_tc_new, classes_new).localCheckpoint(eager=False)
-    # delta closure pairs incl. reflexive/top pairs of newly-seen classes
-    d_classes = delta_told["classes"].join(state["classes"], on=["c"], how="left_anti")
+    d_sp = (
+        delta_told["sp"].dropDuplicates()
+        .join(state["sp"], on=["sub", "sup"], how="left_anti")
+        .localCheckpoint(eager=False)
+    )
+    sp_new = state["sp"].unionByName(d_sp)
+    sp_changed = not d_sp.isEmpty()
+    props_changed = not d_props.isEmpty()
+    if sp_changed:
+        # property edges arrived: re-close the (tiny, vocabulary-sized)
+        # property hierarchy
+        sp_star_new = (
+            transitive_closure(
+                sp_new,
+                child="sub",
+                parent="sup",
+                max_iterations=cfg.max_iterations,
+                broadcast_row_threshold=cfg.broadcast_row_threshold,
+            )
+            .unionByName(reflexive(props_new, "p", "sub", "sup"))
+            .dropDuplicates()
+            .localCheckpoint(eager=False)
+        )
+        n_sp_star = sp_star_new.count()
+    elif props_changed:
+        # only new property tokens: extend with their reflexive pairs
+        d_sp_refl = reflexive(d_props, "p", "sub", "sup")
+        sp_star_new = state["_sp_star"].unionByName(d_sp_refl).localCheckpoint(eager=False)
+        n_sp_star = None
+    else:
+        sp_star_new = state["_sp_star"]
+        n_sp_star = None
+
+    d_some = (
+        delta_told["some"].dropDuplicates()
+        .join(state["some"], on=["s", "p", "f"], how="left_anti")
+        .localCheckpoint(eager=False)
+    )
+    some_new = state["some"].unionByName(d_some)
+
+    # delta closure pairs incl. reflexive/top pairs of newly-seen classes.
+    # The pieces are pairwise disjoint by construction (d_tc minus its
+    # self-pairs and TOP-pairs — both already covered by the reflexive/top
+    # rows of whichever batch introduced the class), so sc_star extends by
+    # plain union, no O(closure) dedup.
     d_star = (
-        d_tc.unionByName(reflexive(d_classes, "c", "sub", "sup"))
+        d_tc.where((F.col("sub") != F.col("sup")) & (F.col("sup") != T.TOP))
+        .unionByName(reflexive(d_classes.where(F.col("c") != T.TOP), "c", "sub", "sup"))
         .unionByName(
             d_classes.select(
                 F.col("c").alias("sub"), F.lit(T.TOP).cast("int").alias("sup")
             )
         )
-        .dropDuplicates()
         .localCheckpoint(eager=False)
     )
+    n_d_star = d_star.count()
+    sc_star_new = state["_sc_star"].unionByName(d_star).localCheckpoint(eager=False)
 
     thr = cfg.broadcast_row_threshold
-    # measure the shared sides ONCE per batch (broadcast decision +
-    # packability), then hand the decisions to every derivation pass —
-    # saves ~15 count/max scan jobs per micro-batch
-    n_sides = sc_star_new.count() + sp_star_new.count()
+    # running side stats: broadcast decision + packability without a
+    # per-batch O(closure) count/max scan
+    n_sp_old = state["_n_sp_star"]
+    n_sp_new = n_sp_star if n_sp_star is not None else (
+        n_sp_old + (d_props.count() if props_changed else 0)
+    )
+    n_sides = state["_n_sc_star"] + n_d_star + n_sp_new
     sides_small = thr > 0 and n_sides <= thr
-    max_tok = (
-        sc_star_new.select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
+    d_max = (
+        d_sc.select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
+        .unionByName(d_sp.select(F.greatest(F.max("sub"), F.max("sup")).alias("m")))
         .unionByName(
-            sp_star_new.select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
+            d_some.select(F.greatest(F.max("s"), F.max("p"), F.max("f")).alias("m"))
         )
-        .unionByName(
-            some_new.select(F.greatest(F.max("s"), F.max("p"), F.max("f")).alias("m"))
-        )
+        .unionByName(d_classes.select(F.max("c").alias("m")))
+        .unionByName(d_props.select(F.max("p").alias("m")))
         .agg(F.max("m"))
         .collect()[0][0]
     )
+    max_tok = max(state["_max_token"] or -1, d_max if d_max is not None else -1)
+    if max_tok < 0:
+        max_tok = None
     kw = {"sides_broadcast": sides_small, "max_token": max_tok or (1 << 40)}
 
     passes = []
-    if not d_star.isEmpty():
+    if n_d_star > 0:
         # >=1 new subject-closure pair / >=1 new filler-closure pair
         passes.append(
             derive_relations(sc_star_new, some_new, sp_star_new, thr, subject_star=d_star, **kw)
@@ -254,21 +438,45 @@ def apply_delta(
     rel_delta = passes[0]
     for p in passes[1:]:
         rel_delta = rel_delta.unionByName(p)
-    # history dedup: the one O(|state.rel|) join of the fast path. At cluster
-    # scale state.rel lives as a bucket-partitioned Iceberg table hashed on
-    # (s, p, o) so this anti-join is storage-partitioned (no shuffle of the
-    # history side); locally Catalyst/AQE plans it as a shuffled anti-join.
-    rel_delta = (
-        rel_delta.dropDuplicates()
-        .join(state["rel"], on=["s", "p", "o"], how="left_anti")
+    # history dedup: the one join against accumulated state in the fast
+    # path. When the state store has persisted rel hash-bucketed on
+    # (s, p, o) (see REL_BUCKETS), the history side is pruned to the
+    # delta-touched buckets at the parquet scan — input bytes bounded by
+    # the delta's bucket footprint, not total history. Without a persisted
+    # layout (first batch of a fresh job before any snapshot) it falls back
+    # to the full anti-join.
+    rel_paths: list[str] | None = state.get("_rel_paths")  # type: ignore[assignment]
+    rel_delta = rel_delta.dropDuplicates()
+    if rel_paths:
+        spark = state["rel"].sparkSession
+        delta_b = rel_delta.withColumn("bucket", _rel_bucket()).localCheckpoint(eager=False)
+        touched = [r["bucket"] for r in delta_b.select("bucket").distinct().collect()]
+        if touched and os.environ.get("RGS_PRUNE_EVIDENCE"):
+            PRUNE_STATS.append(_prune_evidence(rel_paths, touched))
+        if touched:
+            hist = (
+                _read_rel_bucketed(spark, rel_paths)
+                .where(F.col("bucket").isin(touched))
+                .select("s", "p", "o")
+            )
+            rel_delta = (
+                delta_b.drop("bucket")
+                .join(hist, on=["s", "p", "o"], how="left_anti")
+                .localCheckpoint(eager=False)
+            )
+        else:
+            rel_delta = delta_b.drop("bucket")
+    else:
+        rel_delta = rel_delta.join(
+            state["rel"], on=["s", "p", "o"], how="left_anti"
+        ).localCheckpoint(eager=False)
+    rel_new = state["rel"].unionByName(rel_delta)
+
+    d_assertions = (
+        delta_told["assertions"].dropDuplicates()
+        .join(state["assertions"], on=["ind", "c"], how="left_anti")
         .localCheckpoint(eager=False)
     )
-    rel_new = state["rel"].unionByName(rel_delta).localCheckpoint(eager=False)
-
-    d_assertions = delta_told["assertions"].join(
-        state["assertions"], on=["ind", "c"], how="left_anti"
-    )
-    d_props = delta_told["props"].join(state["props"], on=["p"], how="left_anti")
 
     new_state = {
         "sc": sc_new,
@@ -277,10 +485,19 @@ def apply_delta(
         "sp": sp_new,
         "classes": classes_new,
         "props": props_new,
-        "assertions": state["assertions"].unionByName(d_assertions).dropDuplicates(),
+        "assertions": state["assertions"].unionByName(d_assertions),
         "sc_tc": sc_tc_new,
         "rel": rel_new,
+        # derived carry-forward (in-memory only; rebuilt lazily on restart)
+        "_sc_star": sc_star_new,
+        "_sp_star": sp_star_new,
+        "_n_sc_star": state["_n_sc_star"] + n_d_star,
+        "_n_sp_star": n_sp_new,
+        "_max_token": max_tok,
     }
+    if rel_paths:
+        # stale until the caller persists this batch and re-points it
+        new_state["_rel_paths"] = rel_paths
     deltas = {
         "sc": d_sc,
         "some": d_some,
@@ -491,7 +708,7 @@ def assemble_delta(
 # ------------------------------------------------------------- persistence
 #
 # State persists as SNAPSHOTS (full frames, dir `batch=<id>/`) plus DELTAS
-# (only the rows added by one batch, dir `delta=<id>/`). The streaming
+# (only the rows added by one batch, dir `delta-<id>/`). The streaming
 # pipeline writes a delta per fast-path batch and a snapshot on the first
 # batch / the feedback fallback / every `compact_every` batches — so
 # per-batch state I/O is delta-sized, not O(total history) (round-1 VERDICT
@@ -500,29 +717,49 @@ def assemble_delta(
 # identical content (deterministic), keeping crash/replay exactly-once.
 
 
-def save_state_snapshot(state: dict[str, DataFrame], root: str, batch_id: int) -> None:
+def _write_rel_bucketed(rel: DataFrame, path: str) -> None:
+    rel.withColumn("bucket", _rel_bucket()).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def save_state_snapshot(
+    state: dict[str, DataFrame], root: str, batch_id: int
+) -> list[str]:
+    """Persist all frames; rel is written hash-bucketed (see REL_BUCKETS).
+    Returns the rel path list for subsequent pruned history reads."""
     for name in STATE_FRAMES:
-        state[name].write.mode("overwrite").parquet(
-            os.path.join(root, f"batch={batch_id}", name)
-        )
+        path = os.path.join(root, f"snap-{batch_id}", name)
+        if name == "rel":
+            _write_rel_bucketed(state[name], path)
+        else:
+            state[name].write.mode("overwrite").parquet(path)
+    return [os.path.join(root, f"snap-{batch_id}", "rel")]
 
 
-def save_state_delta(deltas: dict[str, DataFrame], root: str, batch_id: int) -> None:
+def save_state_delta(
+    deltas: dict[str, DataFrame], root: str, batch_id: int
+) -> str | None:
     # empty deltas are skipped (a missing frame dir loads as empty) — most
     # batches only grow 2-3 of the 9 frames, and every avoided write is one
     # fewer Spark job on the per-batch critical path
+    rel_path = None
     for name in STATE_FRAMES:
         if not deltas[name].isEmpty():
-            deltas[name].write.mode("overwrite").parquet(
-                os.path.join(root, f"delta={batch_id}", name)
-            )
+            path = os.path.join(root, f"delta-{batch_id}", name)
+            if name == "rel":
+                _write_rel_bucketed(deltas[name], path)
+                rel_path = path
+            else:
+                deltas[name].write.mode("overwrite").parquet(path)
+    return rel_path
 
 
 def snapshot_batches(root: str) -> list[int]:
     if not os.path.isdir(root):
         return []
     return sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("batch=")
+        int(d.split("-", 1)[1]) for d in os.listdir(root) if d.startswith("snap-")
     )
 
 
@@ -530,7 +767,7 @@ def delta_batches(root: str) -> list[int]:
     if not os.path.isdir(root):
         return []
     return sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("delta=")
+        int(d.split("-", 1)[1]) for d in os.listdir(root) if d.startswith("delta-")
     )
 
 
@@ -550,11 +787,15 @@ def load_state(
     deltas = [b for b in delta_batches(root) if b in committed_set and b > base]
     state = {}
     for name in STATE_FRAMES:
-        paths = [os.path.join(root, f"batch={base}", name)] + [
+        paths = [os.path.join(root, f"snap-{base}", name)] + [
             p
             for b in deltas
             # absent delta dir == empty delta (save_state_delta skips them)
-            if os.path.isdir(p := os.path.join(root, f"delta={b}", name))
+            if os.path.isdir(p := os.path.join(root, f"delta-{b}", name))
         ]
-        state[name] = spark.read.parquet(*paths)
+        if name == "rel":
+            state["_rel_paths"] = paths
+            state[name] = read_rel(spark, paths)
+        else:
+            state[name] = spark.read.parquet(*paths)
     return state, max([base] + deltas)

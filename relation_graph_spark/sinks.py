@@ -91,13 +91,34 @@ class EdgeSink(Protocol):
 
 
 class IdempotentParquetSink:
-    def __init__(self, spark: SparkSession, root: str):
+    """Data files are HASH-BUCKETED: every batch dir is partitioned by
+    ``bucket = pmod(xxhash64(edge_hash), n_buckets)`` (the offline analog of
+    a bucket-partitioned Iceberg table). ``append_new_only``'s history
+    anti-join then reads only the buckets the incoming delta touches —
+    partition pruning bounds the history-side input bytes by the delta's
+    bucket footprint instead of total committed history."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
         self.spark = spark
         self.root = root
+        self.n_buckets = n_buckets
         self.data_dir = os.path.join(root, "data")
         self.tombstone_dir = os.path.join(root, "tombstones")
         self.manifest_dir = os.path.join(root, "manifest")
         os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(F.xxhash64("edge_hash"), F.lit(self.n_buckets)).cast("int")
+
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        """A partitionBy write of an EMPTY frame creates no data files (there
+        is no partition value to name a dir after) — such batch dirs must be
+        skipped on read, or schema inference fails."""
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     # -- commit log ---------------------------------------------------------
     def committed_batches(self) -> list[int]:
@@ -128,14 +149,27 @@ class IdempotentParquetSink:
             return None
         return self.spark.read.parquet(*paths).select("edge_hash").dropDuplicates()
 
+    def _read_bucketed(self) -> DataFrame | None:
+        """Committed data with the bucket partition column retained (for
+        bucket-pruned history reads); tombstones NOT applied."""
+        paths = [
+            p
+            for b in self.committed_batches()
+            if self._has_parquet(p := os.path.join(self.data_dir, f"batch={b}"))
+        ]
+        if not paths:
+            return None
+        # basePath makes batch= and bucket= both partition columns (the dirs
+        # nest), keeping bucket prunable across the whole committed set
+        return self.spark.read.option("basePath", self.data_dir).parquet(*paths)
+
     def read(self) -> DataFrame | None:
         """Union of committed batch dirs minus committed tombstones (orphans
         of either kind are invisible)."""
-        batches = self.committed_batches()
-        if not batches:
+        df = self._read_bucketed()
+        if df is None:
             return None
-        paths = [os.path.join(self.data_dir, f"batch={b}") for b in batches]
-        df = self.spark.read.parquet(*paths)
+        df = df.drop("bucket", "batch")
         ts = self._tombstones()
         if ts is not None:
             df = df.join(F.broadcast(ts), on="edge_hash", how="left_anti")
@@ -156,7 +190,9 @@ class IdempotentParquetSink:
             with open(os.path.join(self.manifest_dir, f"{batch_id}.json")) as fh:
                 return json.load(fh)
         path = os.path.join(self.data_dir, f"batch={batch_id}")
-        df.write.mode("overwrite").parquet(path)
+        df.withColumn("bucket", self._bucket_col()).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(path)
         n_tomb = 0
         if tombstones is not None:
             tdf = tombstones.select("edge_hash").dropDuplicates()
@@ -168,7 +204,9 @@ class IdempotentParquetSink:
                 import shutil
 
                 shutil.rmtree(tpath, ignore_errors=True)
-        n_rows = self.spark.read.parquet(path).count()
+        n_rows = (
+            self.spark.read.parquet(path).count() if self._has_parquet(path) else 0
+        )
         manifest = {
             "batch_id": batch_id,
             "n_rows": n_rows,
@@ -192,12 +230,32 @@ class IdempotentParquetSink:
         """MERGE-style append: drop rows whose `key` already exists in any
         committed batch (the left_anti pre-commit dedup of SURVEY.md S7).
 
-        This is the O(committed-history) fallback used when the incremental
-        engine cannot produce a delta (equivalence feedback); the fast path
-        appends pre-computed deltas via `append` with no history join."""
-        existing = self.read()
-        if existing is not None:
-            df = df.join(existing.select(key).dropDuplicates(), on=key, how="left_anti")
+        The history side is pruned to the buckets the incoming delta touches
+        (edge_hash determines the bucket, so a matching key can only live in
+        a touched bucket) — the parquet scan reads delta-footprint bytes,
+        not total committed history. Used when the incremental engine cannot
+        produce a delta (equivalence feedback); the fast path appends
+        pre-computed deltas via `append` with no history join."""
+        existing = self._read_bucketed()
+        if existing is not None and key == "edge_hash":
+            dfb = df.withColumn("bucket", self._bucket_col()).localCheckpoint(
+                eager=False
+            )
+            touched = [r["bucket"] for r in dfb.select("bucket").distinct().collect()]
+            hist = (
+                existing.where(F.col("bucket").isin(touched))
+                .select(key)
+                .dropDuplicates()
+                if touched
+                else None
+            )
+            df = dfb.drop("bucket")
+            if hist is not None:
+                df = df.join(hist, on=key, how="left_anti")
+        elif existing is not None:
+            df = df.join(
+                existing.select(key).dropDuplicates(), on=key, how="left_anti"
+            )
         return self.append(df, batch_id, tombstones=tombstones, extra_metrics=extra_metrics)
 
 

@@ -100,7 +100,9 @@ class IncrementalClosureJob:
 
     def _ensure_state_loaded(self) -> None:
         """Restart path: rebuild in-memory state from the newest committed
-        snapshot + later committed deltas."""
+        snapshot + later committed deltas. Vocabulary-sized frames are
+        localCheckpointed; `rel` stays disk-backed (bucketed parquet) so the
+        per-batch history anti-join can prune to delta-touched buckets."""
         if self._state is not None:
             return
         from relation_graph_spark.incremental import load_state, output_frames
@@ -109,7 +111,10 @@ class IncrementalClosureJob:
         if loaded is None:
             return
         state, batch_id = loaded
-        self._state = {k: v.localCheckpoint() for k, v in state.items()}
+        self._state = {
+            k: v if k in ("rel", "_rel_paths") else v.localCheckpoint()
+            for k, v in state.items()
+        }
         self._state_batch = batch_id
         self._prev_unsat = output_frames(self._state, self.cfg)["unsat"].localCheckpoint()
 
@@ -121,6 +126,17 @@ class IncrementalClosureJob:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if self.sink.is_committed(int(batch_id)):
             return  # replayed micro-batch: already fully applied
+
+        import time as _time
+
+        _phase_timing = bool(os.environ.get("RGS_PHASE_TIMING"))
+        _t = [_time.time()]
+
+        def _mark(label: str) -> None:
+            if _phase_timing:
+                now = _time.time()
+                print(f"[phase b{batch_id}] {label}: {now - _t[0]:.2f}s")
+                _t[0] = now
 
         batch_df = batch_df.localCheckpoint()
 
@@ -144,11 +160,15 @@ class IncrementalClosureJob:
                 hwm = max(hwm or float("-inf"), float(new_max))
                 self._store_hwm(hwm)
 
-        # told-state append (audit/replay trail; lineage metrics come from
-        # running totals below, never from rescanning this)
+        # told-state trail (audit/replay; lineage metrics come from running
+        # totals below, never from rescanning this). Per-batch subdir with
+        # overwrite mode: a replayed batch rewrites identical content
+        # instead of appending duplicates (same protocol as sink/state).
         seq_cols = [f.name for f in SEQ_TS_SCHEMA.fields if f.name in batch_df.columns]
         batch_seq = batch_df.select(*seq_cols)
-        batch_seq.write.mode("append").parquet(self.told_dir)
+        batch_seq.write.mode("overwrite").parquet(
+            os.path.join(self.told_dir, f"batch={int(batch_id)}")
+        )
 
         from relation_graph_spark.incremental import (
             apply_delta,
@@ -156,6 +176,7 @@ class IncrementalClosureJob:
             assemble_from_state,
             initial_state,
             output_frames,
+            read_rel,
             save_state_delta,
             save_state_snapshot,
         )
@@ -171,10 +192,12 @@ class IncrementalClosureJob:
             decode_axioms(batch_seq.select("doc_id", "tokens", "n_tok", "source"))
         )
         self._ensure_state_loaded()
+        _mark("watermark+told+decode")
         if self._state is None:
             state, deltas = initial_state(delta_told, self.cfg), None
         else:
             state, deltas = apply_delta(self._state, delta_told, self.cfg)
+        _mark("apply_delta")
         if self.cfg.output_individuals:
             deltas_for_emit = None  # delta assembly is class-mode only
         else:
@@ -184,23 +207,56 @@ class IncrementalClosureJob:
         prev_total = prev_m.get("closure_edges_total", 0)
         unsat_new = None
 
+        # -------- state persistence BEFORE the sink commit ----------------
+        # Ordering is load-bearing for crash recovery: state writes are
+        # idempotent and load_state ignores uncommitted orphan dirs, so a
+        # crash between state write and manifest publish just replays the
+        # batch over both. The reverse order (commit first) would let a
+        # crash permanently drop the batch's axioms from the closure state
+        # while the replay guard skips the committed batch.
+        # Persistence is delta-sized unless compacting.
+        if deltas is None or self._deltas_since_snapshot + 1 >= self.compact_every:
+            rel_paths = save_state_snapshot(state, self.state_dir, int(batch_id))
+            self._deltas_since_snapshot = 0
+        else:
+            d_rel_path = save_state_delta(deltas, self.state_dir, int(batch_id))
+            self._deltas_since_snapshot += 1
+            rel_paths = list(state.get("_rel_paths") or [])
+            if d_rel_path is not None:
+                rel_paths.append(d_rel_path)
+        # re-point rel at the bucket-partitioned on-disk layout: the next
+        # batch's history anti-join prunes its parquet scan to the buckets
+        # its delta touches
+        state["_rel_paths"] = rel_paths
+        if rel_paths:
+            state["rel"] = read_rel(self.spark, rel_paths)
+        _mark("persist_state")
+
         if deltas_for_emit is not None and self._prev_unsat is not None:
             # -------- fast path: delta-sized emission, no history join -----
             new_rows, retracted, unsat_new = assemble_delta(
                 state, deltas_for_emit, self._prev_unsat, self.cfg
             )
-            hashed = with_edge_hash(new_rows)
-            tomb = with_edge_hash(retracted).select("edge_hash")
-            manifest = self.sink.append(
+            hashed = with_edge_hash(new_rows).localCheckpoint(eager=False)
+            tomb = (
+                with_edge_hash(retracted)
+                .select("edge_hash")
+                .dropDuplicates()
+                .localCheckpoint(eager=False)
+            )
+            # running closure total is computed from the delta frames BEFORE
+            # commit so the manifest is written exactly once (no post-commit
+            # patch to lose in a crash)
+            total = prev_total + hashed.count() - tomb.count()
+            _mark("delta_counts")
+            self.sink.append(
                 hashed.select("s", "p", "o", "edge", "edge_hash"),
                 int(batch_id),
                 tombstones=tomb,
                 extra_metrics=self._metrics(
-                    prev_m, batch_per_source, n_late, hwm, prev_total, None
+                    prev_m, batch_per_source, n_late, hwm, total, None
                 ),
             )
-            total = prev_total + manifest["n_rows"] - manifest["n_tombstones"]
-            self._patch_total(int(batch_id), total)
         else:
             # -------- fallback: full assembly + history anti-join ----------
             edges = assemble_from_state(state, self.cfg)
@@ -222,14 +278,7 @@ class IncrementalClosureJob:
                 ),
             )
 
-        # -------- state persistence: delta-sized unless compacting --------
-        if deltas is None or self._deltas_since_snapshot + 1 >= self.compact_every:
-            save_state_snapshot(state, self.state_dir, int(batch_id))
-            self._deltas_since_snapshot = 0
-        else:
-            save_state_delta(deltas, self.state_dir, int(batch_id))
-            self._deltas_since_snapshot += 1
-
+        _mark("sink_append")
         self._state = state
         self._state_batch = int(batch_id)
         if deltas_for_emit is not None and unsat_new is not None:
@@ -237,9 +286,11 @@ class IncrementalClosureJob:
         else:
             self._prev_unsat = output_frames(state, self.cfg)["unsat"].localCheckpoint()
 
-    def _metrics(self, prev_m, batch_per_source, n_late, hwm, prev_total, full_edges):
+    def _metrics(self, prev_m, batch_per_source, n_late, hwm, total, full_edges):
         """Manifest metrics: running per-source lineage totals + edge counts
-        (no told-history rescan — round-1 VERDICT item 2)."""
+        (no told-history rescan). The running closure total is always known
+        BEFORE the manifest commit — delta counts on the fast path, a full
+        count on the fallback — so the manifest is written exactly once."""
         totals = dict(prev_m.get("told_rows_by_source", {}))
         for src, n in batch_per_source.items():
             totals[src] = totals.get(src, 0) + n
@@ -248,31 +299,9 @@ class IncrementalClosureJob:
             "hwm_epoch": hwm,
             "told_rows_by_source": totals,
             "closure_edges_total": (
-                full_edges.count() if full_edges is not None else prev_total
+                full_edges.count() if full_edges is not None else total
             ),
         }
-
-    def _patch_total(self, batch_id: int, total: int) -> None:
-        """Fast path: the running closure total depends on this batch's own
-        append/tombstone counts, known only after commit — patch it into the
-        committed manifest (idempotent rewrite of the same JSON)."""
-        manifest_dir = getattr(self.sink, "manifest_dir", None)
-        if manifest_dir is None:
-            # non-file sink binding: patch the in-memory manifest instead
-            m = next(
-                (m for m in self.sink.metrics() if m.get("batch_id") == batch_id), None
-            )
-            if m is not None:
-                m["closure_edges_total"] = total
-            return
-        path = os.path.join(manifest_dir, f"{batch_id}.json")
-        if not os.path.exists(path):
-            return
-        with open(path) as fh:
-            m = json.load(fh)
-        m["closure_edges_total"] = total
-        with open(path, "w") as fh:
-            json.dump(m, fh)
 
     # ------------------------------------------------------------------ run
     def read_stream(self, max_files_per_trigger: int | None = 1) -> DataFrame:
