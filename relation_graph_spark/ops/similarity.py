@@ -257,9 +257,24 @@ def ivf_topk(
         .cast("bigint")
         .alias("cosine_ppm"),
     )
+    # two-stage top-k over the probed candidates (same shape as cosine_topk):
+    # stage 1 ranks within n_groups hash groups in parallel, stage 2 ranks
+    # the <= k*n_groups survivors in one tiny task — identical result to a
+    # global sort without funneling ~n_probe/n_centroids of the table
+    # through a single-partition window.
+    n_groups = 64
+    grouped = scored.withColumn("_g", F.pmod(F.xxhash64("vec_id"), F.lit(n_groups)))
+    wp = Window.partitionBy("_g").orderBy(
+        F.col("cosine_ppm").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        grouped.withColumn("_pr", F.row_number().over(wp))
+        .where(F.col("_pr") <= k)
+        .drop("_g", "_pr")
+    )
     w = Window.orderBy(F.col("cosine_ppm").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "cosine_ppm", "rank")
     )

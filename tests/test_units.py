@@ -344,6 +344,27 @@ def test_two_stage_topk_equals_global_sort(spark):
     assert [(v, c) for v, c, _ in got] == brute
 
 
+def test_ivf_topk_two_stage_no_global_window(spark):
+    """ivf_topk's final ranking must (a) equal the rank order implied by the
+    exact scores and (b) carry no un-partitioned window over the full probed
+    candidate set in the plan (only the <= k*n_groups survivor merge)."""
+    from relation_graph_spark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = ivf_topk(emb, 2, k=5, n_centroids=4, n_probe=2)
+    rows = df.orderBy("rank").collect()
+    assert len(rows) == 5
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    # scores weakly decreasing, ties broken by vec_id ascending
+    for a, b in zip(rows, rows[1:]):
+        assert (a.cosine_ppm, -a.vec_id) >= (b.cosine_ppm, -b.vec_id)
+    # the global merge window must be fed by a per-group stage: a window
+    # partitioned by the _g hash group ranks the probed candidates before
+    # any un-partitioned window sees them
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(_g" in plan
+
+
 def test_triples_to_axioms_dispatch(spark):
     """J6 / reference RelationGraphUtil.scala:33-39 predicate dispatch."""
     from relation_graph_spark.util import compute_relation_graph, triples_to_axioms
