@@ -523,6 +523,74 @@ def q_rg_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job.result_edges().select("s", "p", "o")
 
 
+_IND_STREAM_BATCHES = [
+    # b0: classes 11/12, prop 21, some(11, 21, 12), ind 91 : 11
+    [[105, 11], [105, 12], [106, 21], [102, 11, 21, 12], [107, 11, 91]],
+    # b1: 13 subClassOf 11, ind 92 : 13
+    [[105, 13], [101, 13, 11], [107, 13, 92]],
+    # b2: second derivation: 92 : 11 re-derives committed individual rows
+    [[107, 11, 92]],
+    # b3: late unsat — 12 subClassOf owl:Nothing retracts every committed
+    # row whose object became unsatisfiable (incl. individual rows)
+    [[101, 12, 2]],
+]
+
+
+def q_rg_incremental_individuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pipeline with output_individuals on the incremental fast
+    path: 4 micro-batches with cross-batch individual derivations, a
+    duplicate second derivation (sink dedup), and a late-unsat retraction of
+    committed individual rows. Live sink set must equal the one-shot batch
+    semantics (oracle: recursive SQL over the same told VALUES)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from relation_graph_spark.config import RGConfig
+    from relation_graph_spark.streaming.pipeline import IncrementalClosureJob
+
+    work = tempfile.mkdtemp(prefix="rgs_stream_ind_")
+    inp = os.path.join(work, "in")
+    os.makedirs(inp)
+    schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()),
+            ("source", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    doc = 0
+    for i, rows in enumerate(_IND_STREAM_BATCHES):
+        recs = []
+        for toks in rows:
+            doc += 1
+            recs.append(
+                {
+                    "doc_id": f"x{doc:08d}",
+                    "tokens": [int(t) for t in toks],
+                    "n_tok": len(toks),
+                    "source": "ind_stream",
+                    "ts": t0 + timedelta(seconds=doc),
+                }
+            )
+        p = os.path.join(inp, f"p{i}.parquet")
+        pq.write_table(pa.Table.from_pylist(recs, schema=schema), p)
+        os.utime(p, (1_700_000_000 + i * 10,) * 2)
+    cfg = RGConfig(
+        output_subclasses=True, reflexive_subclasses=False, output_individuals=True
+    )
+    job = IncrementalClosureJob(spark, inp, os.path.join(work, "w"), cfg)
+    job.run_available(max_files_per_trigger=1)
+    return job.result_edges().select("s", "p", "o")
+
+
 def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> vectorized Arrow feature UDF
     (byte-histogram featurizer; exact integer ppm, DuckDB-mirrorable)."""
@@ -583,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_features": q_mm_decode_features,
         "mm_frame_sample": q_mm_frame_sample,
         "rg_incremental_stream": q_rg_incremental_stream,
+        "rg_incremental_individuals": q_rg_incremental_individuals,
     }
 
 
@@ -653,6 +722,59 @@ def oracle_sql() -> dict[str, str]:
     # exactly-once invariant: the 3-micro-batch stream over the same fixture
     # must produce the identical edge set as the one-shot batch run
     q["rg_incremental_stream"] = _FIXTURE_A_SQL
+
+    # individuals-mode stream: live sink set (committed minus tombstoned)
+    # == the one-shot batch semantics over the union of the told batches —
+    # incl. EL bottom-rule unsatisfiability (12 unsat makes 11 and 13 unsat
+    # via the some(11,21,12) filler rule), object-side suppression of class,
+    # taxonomy AND individual-existential rows, while rdf:type rows are not
+    # unsat-gated (reference computes them before its unsat check)
+    q["rg_incremental_individuals"] = """
+        WITH RECURSIVE
+        sc(sub, sup) AS (VALUES (13, 11), (12, 2)),
+        somet(s, p, f) AS (VALUES (11, 21, 12)),
+        asrt(ind, c) AS (VALUES (91, 11), (92, 13), (92, 11)),
+        classes(c) AS (VALUES (11), (12), (13)),
+        tc(sub, sup) AS (
+          SELECT sub, sup FROM sc
+          UNION
+          SELECT tc.sub, sc.sup FROM tc JOIN sc ON tc.sup = sc.sub
+        ),
+        star(sub, sup) AS (SELECT sub, sup FROM tc UNION SELECT c, c FROM classes),
+        unsat(c) AS (
+          SELECT sub FROM tc WHERE sup = 2
+          UNION
+          SELECT s2.sub
+          FROM unsat JOIN somet t ON t.f = unsat.c
+          JOIN star s2 ON s2.sup = t.s
+        ),
+        rel AS (
+          SELECT DISTINCT xs.sub AS s, t.p AS p, fo.sup AS o
+          FROM somet t
+          JOIN star xs ON t.s = xs.sup
+          JOIN star fo ON t.f = fo.sub
+          WHERE fo.sup NOT IN (1, 2) AND xs.sub NOT IN (1, 2)
+        ),
+        relv AS (SELECT * FROM rel WHERE o NOT IN (SELECT c FROM unsat)),
+        taxo AS (
+          SELECT sub AS s, 3 AS p, sup AS o FROM tc
+          WHERE sub <> sup AND sub NOT IN (1, 2) AND sup NOT IN (1, 2)
+            AND sup NOT IN (SELECT c FROM unsat)
+        ),
+        indx AS (
+          SELECT DISTINCT a.ind AS s, r.p AS p, r.o AS o
+          FROM asrt a JOIN relv r ON a.c = r.s
+        ),
+        ityp AS (
+          SELECT DISTINCT a.ind AS s, 5 AS p, h.sup AS o
+          FROM asrt a JOIN star h ON a.c = h.sub
+          WHERE h.sup NOT IN (1, 2)
+        )
+        SELECT CAST(s AS INT) AS s, CAST(p AS INT) AS p, CAST(o AS INT) AS o FROM relv
+        UNION SELECT CAST(s AS INT), CAST(p AS INT), CAST(o AS INT) FROM taxo
+        UNION SELECT CAST(s AS INT), CAST(p AS INT), CAST(o AS INT) FROM indx
+        UNION SELECT CAST(s AS INT), CAST(p AS INT), CAST(o AS INT) FROM ityp
+    """
 
     q["rg_tc_orders_forest"] = """
         WITH RECURSIVE e AS (

@@ -523,28 +523,33 @@ def assemble_delta(
     deltas: dict[str, DataFrame],
     prev_unsat: DataFrame,
     cfg: RGConfig,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, bool]:
     """Delta-sized output assembly for the monotone fast path.
 
-    Returns (new_rows, retracted_rows): `new_rows` are output rows that did
-    not exist before this batch; `retracted_rows` are previously-valid rows
-    the batch invalidates — late unsatisfiability suppresses rows whose
+    Returns (new_rows, retracted_rows, unsat_new, needs_dedup): `new_rows`
+    are output rows the batch adds; `retracted_rows` are previously-valid
+    rows the batch invalidates — late unsatisfiability suppresses rows whose
     object turned unsat, and (under equivalence_as_subclass=False) a late
     reverse subsumption upgrades an emitted subClassOf row to reciprocal
     owl:equivalentClass rows. Retraction inputs (unsat delta, mutual pairs)
     are vocabulary-sized, so the only history-sized work is a filter-scan of
     the accumulated rel when the unsat set actually grew — never a shuffle.
+    unsat_new is handed back so the caller can carry it into the next batch
+    without recomputing.
 
-    output_individuals is NOT supported here (the pipeline falls back to the
-    full-assembly + history-anti-join path); the reference's streaming use
-    case (BASELINE.json) is class-mode.
-
-    Returns (new_rows, retracted_rows, unsat_new) — unsat_new is handed back
-    so the caller can carry it into the next batch without recomputing.
+    Class-mode rows are exact (disjoint from committed history) —
+    needs_dedup is False. With cfg.output_individuals the individual row
+    families are derived from delta joins (new assertions x accumulated
+    closure, accumulated assertions x closure delta); an individual row can
+    gain a SECOND derivation from a new batch while already committed via
+    an earlier one, so needs_dedup=True tells the caller to drop
+    already-committed keys (the sink's bucket-pruned dedup_new) before
+    appending. Individual retractions only arise from unsat growth on the
+    existential family (rdf:type rows are not unsat-gated, mirroring
+    assemble_output), and suppression is total per object class, so
+    tombstoning remains sound under multiple derivations.
     """
     from relation_graph_spark.materialize import _not_builtin
-
-    assert not cfg.output_individuals, "delta assembly is class-mode only"
 
     frames = output_frames(state_new, cfg)
     unsat_new = frames["unsat"].localCheckpoint(eager=False)
@@ -596,6 +601,49 @@ def assemble_delta(
                 bad.select(
                     F.col("s").cast("int"), F.col("p").cast("int"), F.col("o").cast("int")
                 )
+            )
+
+    # ---- individual existential rows ---------------------------------------
+    # ind : C and C subClassOf (p some O)  =>  ind p O (assemble_output's
+    # `ind` family). New pairs come from (new assertions x all valid rel) and
+    # (all assertions x new valid rel); the union can re-derive an
+    # already-committed row through a second class, so needs_dedup=True.
+    needs_dedup = False
+    if cfg.output_individuals:
+        needs_dedup = True
+        a_all = state_new["assertions"]
+        d_a = deltas["assertions"]
+
+        def _ind_from(assertions, rel_rows):
+            return (
+                assertions.alias("a")
+                .join(rel_rows.alias("r"), F.col("a.c") == F.col("r.s"))
+                .select(
+                    F.col("a.ind").cast("int").alias("s"),
+                    F.col("r.p").cast("int").alias("p"),
+                    F.col("r.o").cast("int").alias("o"),
+                )
+            )
+
+        ind_exist = _ind_from(a_all, _rel_rows(deltas["rel"]))
+        if not d_a.isEmpty():
+            ind_exist = ind_exist.unionByName(
+                _ind_from(d_a, _rel_rows(state_new["rel"]))
+            )
+        new_rows = new_rows.unionByName(ind_exist.dropDuplicates())
+        if grew_unsat:
+            # individual rows whose underlying rel row was suppressed —
+            # suppression is per-object, so EVERY derivation of the row dies
+            # with it and the tombstone is total
+            old_rel = state_new["rel"].join(
+                deltas["rel"], on=["s", "p", "o"], how="left_anti"
+            )
+            bad_i = old_rel.join(ud_b, old_rel["o"] == ud_b["c"], "left_semi")
+            bad_i = _prop_filter(
+                bad_i.where(_not_builtin("s") & _not_builtin("o") & _not_builtin("p"))
+            )
+            retracted = retracted.unionByName(
+                _ind_from(a_all, bad_i).dropDuplicates()
             )
 
     # ---- taxonomy rows ------------------------------------------------------
@@ -701,8 +749,38 @@ def assemble_delta(
                 )
                 dead_refl = old_classes.join(ud_b, on="c", how="left_semi")
                 retracted = retracted.unionByName(_spo(dead_refl, "c", refl_pred, "c"))
+        if cfg.output_individuals:
+            # ind : C and C subClassOf* O => ind rdf:type O. Mirrors
+            # assemble_output's ityped family: NOT unsat-gated, builtin
+            # objects excluded. New pairs: (new assertions x full sc_star)
+            # union (all assertions x closure delta incl. reflexive pairs of
+            # new classes); may re-derive committed rows -> needs_dedup.
+            a_all = state_new["assertions"]
+            d_a = deltas["assertions"]
+            d_star_t = deltas["sc_tc"].unionByName(
+                deltas["classes"].select(
+                    F.col("c").alias("sub"), F.col("c").alias("sup")
+                )
+            )
 
-    return new_rows, retracted, unsat_new
+            def _ityped_from(assertions, pairs):
+                return (
+                    assertions.alias("a")
+                    .join(pairs.alias("h"), F.col("a.c") == F.col("h.sub"))
+                    .where(_not_builtin("h.sup"))
+                    .select(
+                        F.col("a.ind").cast("int").alias("s"),
+                        F.lit(T.RDF_TYPE).cast("int").alias("p"),
+                        F.col("h.sup").cast("int").alias("o"),
+                    )
+                )
+
+            ityped = _ityped_from(a_all, d_star_t)
+            if not d_a.isEmpty():
+                ityped = ityped.unionByName(_ityped_from(d_a, frames["sc_star"]))
+            new_rows = new_rows.unionByName(ityped.dropDuplicates())
+
+    return new_rows, retracted, unsat_new, needs_dedup
 
 
 # ------------------------------------------------------------- persistence

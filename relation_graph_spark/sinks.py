@@ -85,6 +85,8 @@ class EdgeSink(Protocol):
         extra_metrics: dict | None = None,
     ) -> dict: ...
 
+    def dedup_new(self, df: DataFrame, key: str = "edge_hash") -> DataFrame: ...
+
     def read(self) -> DataFrame | None: ...
 
     def metrics(self) -> list[dict]: ...
@@ -236,27 +238,32 @@ class IdempotentParquetSink:
         not total committed history. Used when the incremental engine cannot
         produce a delta (equivalence feedback); the fast path appends
         pre-computed deltas via `append` with no history join."""
+        df = self.dedup_new(df, key=key)
+        return self.append(df, batch_id, tombstones=tombstones, extra_metrics=extra_metrics)
+
+    def dedup_new(self, df: DataFrame, key: str = "edge_hash") -> DataFrame:
+        """Drop rows whose `key` already exists in any committed batch, with
+        the history scan pruned to the buckets the incoming rows touch.
+        Exposed so callers that need the surviving-row count BEFORE commit
+        (running manifest totals) can dedup first and append exactly."""
         existing = self._read_bucketed()
-        if existing is not None and key == "edge_hash":
+        if existing is None:
+            return df
+        if key == "edge_hash":
             dfb = df.withColumn("bucket", self._bucket_col()).localCheckpoint(
                 eager=False
             )
             touched = [r["bucket"] for r in dfb.select("bucket").distinct().collect()]
-            hist = (
-                existing.where(F.col("bucket").isin(touched))
-                .select(key)
-                .dropDuplicates()
-                if touched
-                else None
-            )
             df = dfb.drop("bucket")
-            if hist is not None:
+            if touched:
+                hist = (
+                    existing.where(F.col("bucket").isin(touched))
+                    .select(key)
+                    .dropDuplicates()
+                )
                 df = df.join(hist, on=key, how="left_anti")
-        elif existing is not None:
-            df = df.join(
-                existing.select(key).dropDuplicates(), on=key, how="left_anti"
-            )
-        return self.append(df, batch_id, tombstones=tombstones, extra_metrics=extra_metrics)
+            return df
+        return df.join(existing.select(key).dropDuplicates(), on=key, how="left_anti")
 
 
 class InMemoryEdgeSink:
@@ -301,10 +308,18 @@ class InMemoryEdgeSink:
         return m
 
     def append_new_only(self, df, batch_id, key="edge_hash", tombstones=None, extra_metrics=None):
+        return self.append(
+            self.dedup_new(df, key=key),
+            batch_id,
+            tombstones=tombstones,
+            extra_metrics=extra_metrics,
+        )
+
+    def dedup_new(self, df, key="edge_hash"):
         existing = self.read()
-        if existing is not None:
-            df = df.join(existing.select(key).dropDuplicates(), on=key, how="left_anti")
-        return self.append(df, batch_id, tombstones=tombstones, extra_metrics=extra_metrics)
+        if existing is None:
+            return df
+        return df.join(existing.select(key).dropDuplicates(), on=key, how="left_anti")
 
     def read(self):
         if not self._data:

@@ -198,10 +198,7 @@ class IncrementalClosureJob:
         else:
             state, deltas = apply_delta(self._state, delta_told, self.cfg)
         _mark("apply_delta")
-        if self.cfg.output_individuals:
-            deltas_for_emit = None  # delta assembly is class-mode only
-        else:
-            deltas_for_emit = deltas
+        deltas_for_emit = deltas
 
         prev_m = self._prev_manifest()
         prev_total = prev_m.get("closure_edges_total", 0)
@@ -233,11 +230,17 @@ class IncrementalClosureJob:
         _mark("persist_state")
 
         if deltas_for_emit is not None and self._prev_unsat is not None:
-            # -------- fast path: delta-sized emission, no history join -----
-            new_rows, retracted, unsat_new = assemble_delta(
+            # -------- fast path: delta-sized emission -----------------------
+            # class rows join no history; individual rows may re-derive a
+            # committed row through a second class, so they pass through the
+            # sink's bucket-pruned dedup (delta-sized probe side)
+            new_rows, retracted, unsat_new, needs_dedup = assemble_delta(
                 state, deltas_for_emit, self._prev_unsat, self.cfg
             )
-            hashed = with_edge_hash(new_rows).localCheckpoint(eager=False)
+            hashed = with_edge_hash(new_rows)
+            if needs_dedup:
+                hashed = self.sink.dedup_new(hashed.dropDuplicates(["edge_hash"]))
+            hashed = hashed.localCheckpoint(eager=False)
             tomb = (
                 with_edge_hash(retracted)
                 .select("edge_hash")

@@ -226,6 +226,74 @@ def test_cross_batch_late_unsat_retracts_object_rows(spark, tmp_path):
     assert job.metrics()[-1]["n_tombstones"] == 2
 
 
+def _batch_golden(spark, row_batches, cfg):
+    """One-shot batch materialization of the union of all stream batches."""
+    from relation_graph_spark.materialize import materialize
+
+    recs = []
+    doc = 0
+    for toks in (t for rows in row_batches for t in rows):
+        doc += 1
+        recs.append((f"x{doc:08d}", [int(x) for x in toks], len(toks), "g"))
+    df = spark.createDataFrame(
+        recs, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    return {(r.s, r.p, r.o) for r in materialize(df, cfg).collect()}
+
+
+IND_CFG = RGConfig(
+    output_subclasses=True, reflexive_subclasses=False, output_individuals=True
+)
+
+_IND_BATCHES = [
+    # b0: 11, 12 classes; some(11, 21, 12); ind 91 : 11
+    [
+        [T.AX_DECL_CLASS, 11],
+        [T.AX_DECL_CLASS, 12],
+        [T.AX_DECL_PROP, 21],
+        [T.AX_SOME, 11, 21, 12],
+        [T.AX_CLASS_ASSERTION, 11, 91],
+    ],
+    # b1: 13 subClassOf 11 (new class), ind 92 : 13 -> (92, 21, 12),
+    # (92, rdf:type, {13, 11}), (13, 21, 12)
+    [[T.AX_DECL_CLASS, 13], [T.AX_SUBCLASS, 13, 11], [T.AX_CLASS_ASSERTION, 13, 92]],
+    # b2: second derivation for already-committed individual rows:
+    # 92 : 11 re-derives (92, 21, 12) and (92, rdf:type, 11) -> sink dedup
+    [[T.AX_CLASS_ASSERTION, 11, 92]],
+]
+
+
+def test_streaming_individuals_split_equals_batch(spark, tmp_path):
+    """output_individuals on the fast path: 3 micro-batches == one-shot
+    batch, duplicate derivations (a second class asserting an already
+    emitted individual row) deduped by the sink, no duplicate hashes."""
+    inp = str(tmp_path / "in")
+    _write_token_batches(spark, inp, _IND_BATCHES)
+    job = IncrementalClosureJob(spark, inp, str(tmp_path / "work"), IND_CFG)
+    job.run_available(max_files_per_trigger=1)
+    assert _sink_triples(job) == _batch_golden(spark, _IND_BATCHES, IND_CFG)
+    out = job.result_edges()
+    assert out.count() == out.select("edge_hash").distinct().count()
+    assert len(job.metrics()) == 3
+
+
+def test_streaming_individuals_late_unsat_retracts_ind_rows(spark, tmp_path):
+    """A late `12 subClassOf Nothing` suppresses every committed row with
+    object 12 — including the individual existential rows — while rdf:type
+    rows stay (not unsat-gated, mirroring the batch semantics)."""
+    batches = _IND_BATCHES + [[[T.AX_SUBCLASS, 12, T.BOT]]]
+    inp = str(tmp_path / "in")
+    _write_token_batches(spark, inp, batches)
+    job = IncrementalClosureJob(spark, inp, str(tmp_path / "work"), IND_CFG)
+    job.run_available(max_files_per_trigger=1)
+    got = _sink_triples(job)
+    assert got == _batch_golden(spark, batches, IND_CFG)
+    # the individual existential rows were committed then tombstoned
+    assert (91, 21, 12) not in got and (92, 21, 12) not in got
+    assert (91, T.RDF_TYPE, 11) in got and (92, T.RDF_TYPE, 13) in got
+    assert sum(m["n_tombstones"] for m in job.metrics()) >= 4
+
+
 def test_lineage_running_totals(spark, tmp_path):
     inp = str(tmp_path / "in")
     _write_batches(spark, inp, [(1, 7), (8, 10), (11, 12)])
