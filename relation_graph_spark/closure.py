@@ -129,6 +129,53 @@ def transitive_closure(
     )
 
 
+def incremental_tc(
+    old_tc: DataFrame,
+    delta_edges: DataFrame,
+    max_iterations: int = 200,
+    broadcast_row_threshold: int = 5_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """(new_tc, delta_pairs): extend an already-closed relation (columns
+    sub/sup) with new edges by two-sided delta composition — new pairs are
+    exactly those with >= 1 new edge on some path. delta_pairs = new_tc
+    minus old_tc.
+
+    Per-round work is delta x closure joins plus a delta-sized dedup; the
+    closure itself is only ever UNIONED (the delta is anti-joined disjoint
+    first), never re-deduplicated — no O(closure) shuffle per round."""
+    side0 = _maybe_broadcast(old_tc, broadcast_row_threshold)
+    delta = (
+        delta_edges.dropDuplicates()
+        .join(side0, on=["sub", "sup"], how="left_anti")
+        .localCheckpoint(eager=False)
+    )
+    closure = old_tc.unionByName(delta).localCheckpoint(eager=False)
+    all_delta = delta
+    for _ in range(max_iterations):
+        if delta.isEmpty():
+            return closure, all_delta
+        side = _maybe_broadcast(closure, broadcast_row_threshold)
+        fwd = (
+            delta.alias("d")
+            .join(side.alias("c"), F.col("d.sup") == F.col("c.sub"))
+            .select(F.col("d.sub").alias("sub"), F.col("c.sup").alias("sup"))
+        )
+        bwd = (
+            side.alias("c")
+            .join(delta.alias("d"), F.col("c.sup") == F.col("d.sub"))
+            .select(F.col("c.sub").alias("sub"), F.col("d.sup").alias("sup"))
+        )
+        delta = (
+            fwd.unionByName(bwd)
+            .dropDuplicates()
+            .join(side, on=["sub", "sup"], how="left_anti")
+            .localCheckpoint(eager=False)
+        )
+        closure = closure.unionByName(delta).localCheckpoint(eager=False)
+        all_delta = all_delta.unionByName(delta).localCheckpoint(eager=False)
+    raise FixpointDidNotConverge("incremental_tc did not converge")
+
+
 def reflexive(nodes: DataFrame, node_col: str, child: str, parent: str) -> DataFrame:
     """(x, x) pairs for every node — the reflexive part of a closure."""
     return nodes.select(

@@ -229,45 +229,16 @@ def incremental_tc(
     delta_edges: DataFrame,
     cfg: RGConfig,
 ) -> tuple[DataFrame, DataFrame]:
-    """(new_tc, delta_pairs): extend a closed relation with new edges by
-    two-sided delta composition. delta_pairs = new_tc minus old_tc.
+    """cfg-shaped wrapper over closure.incremental_tc (shared with the R4
+    feedback loop in materialize_edges)."""
+    from relation_graph_spark.closure import incremental_tc as _itc
 
-    Per-round work is delta x closure joins plus a delta-sized dedup; the
-    closure itself is only ever UNIONED (the delta is anti-joined disjoint
-    first), never re-deduplicated — no O(closure) shuffle per batch."""
-    side0 = _bcast_if_small(old_tc, cfg.broadcast_row_threshold)
-    delta = (
-        delta_edges.dropDuplicates()
-        .join(side0, on=["sub", "sup"], how="left_anti")
-        .localCheckpoint(eager=False)
+    return _itc(
+        old_tc,
+        delta_edges,
+        max_iterations=cfg.max_iterations,
+        broadcast_row_threshold=cfg.broadcast_row_threshold,
     )
-    closure = old_tc.unionByName(delta).localCheckpoint(eager=False)
-    all_delta = delta
-    for _ in range(cfg.max_iterations):
-        if delta.isEmpty():
-            return closure, all_delta
-        side = _bcast_if_small(closure, cfg.broadcast_row_threshold)
-        fwd = (
-            delta.alias("d")
-            .join(side.alias("c"), F.col("d.sup") == F.col("c.sub"))
-            .select(F.col("d.sub").alias("sub"), F.col("c.sup").alias("sup"))
-        )
-        bwd = (
-            side.alias("c")
-            .join(delta.alias("d"), F.col("c.sup") == F.col("d.sub"))
-            .select(F.col("c.sub").alias("sub"), F.col("d.sup").alias("sup"))
-        )
-        delta = (
-            fwd.unionByName(bwd)
-            .dropDuplicates()
-            .join(side, on=["sub", "sup"], how="left_anti")
-            .localCheckpoint(eager=False)
-        )
-        closure = closure.unionByName(delta).localCheckpoint(eager=False)
-        all_delta = all_delta.unionByName(delta).localCheckpoint(eager=False)
-    from relation_graph_spark.closure import FixpointDidNotConverge
-
-    raise FixpointDidNotConverge("incremental_tc did not converge")
 
 
 def apply_delta(

@@ -244,37 +244,70 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
     def_some = told["def_some"].dropDuplicates().localCheckpoint(eager=False)
     has_feedback = not def_some.isEmpty()
 
+    thr = cfg.broadcast_row_threshold
     sc = told["sc"].dropDuplicates().localCheckpoint(eager=False)
-    rel = None
-    sc_star = None
-    sc_tc = None
-    for _round in range(cfg.max_iterations):
-        sc_tc, sc_star = _sc_star(sc, classes, cfg)
-        rel = derive_relations(
-            sc_star, some, sp_star, cfg.broadcast_row_threshold
-        ).localCheckpoint(eager=False)
-        if not has_feedback:
-            break
-        # R4: x subClassOf F whenever x satisfies F's definition (p some y).
-        new_sc = (
-            rel.alias("r")
-            .join(
-                F.broadcast(def_some).alias("d"),
-                (F.col("r.p") == F.col("d.p")) & (F.col("r.o") == F.col("d.o")),
+    # round 0: full class closure + full R3
+    sc_tc, sc_star = _sc_star(sc, classes, cfg)
+    rel = derive_relations(sc_star, some, sp_star, thr).localCheckpoint(eager=False)
+
+    if has_feedback:
+        # R4 feedback rounds are INCREMENTAL: each round extends the closure
+        # with just the newly derived subclass facts (closure.incremental_tc)
+        # and re-derives only the relation rows that involve a new closure
+        # pair (delta-restricted R3, same discipline as the streaming
+        # engine) — per-round work is proportional to the round's delta, not
+        # a full recompute of the most expensive stage.
+        from relation_graph_spark.closure import incremental_tc
+
+        def _r4_new_sc(rel_df, sc_df):
+            # x subClassOf F whenever x satisfies F's definition (p some y)
+            return (
+                rel_df.alias("r")
+                .join(
+                    F.broadcast(def_some).alias("d"),
+                    (F.col("r.p") == F.col("d.p")) & (F.col("r.o") == F.col("d.o")),
+                )
+                .select(F.col("r.s").alias("sub"), F.col("d.f").alias("sup"))
+                .where(F.col("sub") != F.col("sup"))
+                .dropDuplicates()
+                .join(sc_df, on=["sub", "sup"], how="left_anti")
+                .localCheckpoint(eager=False)
             )
-            .select(F.col("r.s").alias("sub"), F.col("d.f").alias("sup"))
-            .where(F.col("sub") != F.col("sup"))
-            .dropDuplicates()
-            .join(sc, on=["sub", "sup"], how="left_anti")
-            .localCheckpoint(eager=False)
-        )
-        if new_sc.isEmpty():
-            break
-        sc = sc.unionByName(new_sc).localCheckpoint(eager=False)
-    else:
-        raise FixpointDidNotConverge(
-            f"R4 feedback loop did not converge in {cfg.max_iterations} rounds"
-        )
+
+        rel_dirty = False  # rel may carry duplicates across round deltas
+        for _round in range(cfg.max_iterations):
+            new_sc = _r4_new_sc(rel, sc)
+            if new_sc.isEmpty():
+                break
+            sc = sc.unionByName(new_sc).localCheckpoint(eager=False)
+            sc_tc, d_tc = incremental_tc(
+                sc_tc, new_sc, max_iterations=cfg.max_iterations,
+                broadcast_row_threshold=thr,
+            )
+            # classes are fixed during feedback, so the closure delta minus
+            # its self/TOP pairs (already present as reflexive/top rows) is
+            # disjoint from sc_star — plain union, no O(closure) dedup
+            d_star = d_tc.where(
+                (F.col("sub") != F.col("sup")) & (F.col("sup") != T.TOP)
+            ).localCheckpoint(eager=False)
+            if d_star.isEmpty():
+                continue  # told edge was already entailed; rel unchanged
+            sc_star = sc_star.unionByName(d_star).localCheckpoint(eager=False)
+            rel_d = derive_relations(
+                sc_star, some, sp_star, thr, subject_star=d_star
+            ).unionByName(
+                derive_relations(sc_star, some, sp_star, thr, filler_star=d_star)
+            )
+            rel = rel.unionByName(rel_d.dropDuplicates()).localCheckpoint(eager=False)
+            rel_dirty = True
+        else:
+            raise FixpointDidNotConverge(
+                f"R4 feedback loop did not converge in {cfg.max_iterations} rounds"
+            )
+        if rel_dirty:
+            # round deltas may re-derive rows reachable through older pairs;
+            # one final dedup instead of an O(rel) anti-join per round
+            rel = rel.dropDuplicates().localCheckpoint(eager=False)
 
     unsat = compute_unsat(sc_star, some, cfg)
 

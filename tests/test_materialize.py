@@ -28,6 +28,28 @@ def test_materialized_relations_full_golden(spark):
     assert out == FX.GOLDEN_A_EXISTENTIAL | FX.GOLDEN_A_SUBCLASS
 
 
+def test_deep_feedback_chain_incremental_rounds(spark):
+    """An equivalence-definition chain forcing k=4 R4 feedback rounds
+    (A subClassOf E1 unlocks E1's told existential, which entails E2, ...):
+    the incremental feedback loop (incremental_tc + delta-restricted R3 per
+    round) must reach the same fixpoint as the naive full recompute."""
+    from pyoracle import materialize_py
+
+    A, p = 11, 21
+    D = [31, 32, 33, 34]
+    E = [41, 42, 43, 44]
+    rows = [[T.AX_SOME, A, p, D[0]]]
+    rows += [[T.AX_EQUIV_SOME, E[i], p, D[i]] for i in range(4)]
+    rows += [[T.AX_SOME, E[i], p, D[i + 1]] for i in range(3)]
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    got = triples(materialize(FX._rows_to_df(spark, rows, "chain"), cfg))
+    assert got == materialize_py(rows)
+    # the chain actually fired through all four rounds
+    for e in E:
+        assert (A, T.SUBCLASSOF, e) in got
+    assert (E[0], T.SUBCLASSOF, E[3]) in got
+
+
 def test_negative_assertion_f_p_c_not_entailed(spark):
     # TestRelationGraph.scala:44 — the equivalence must not leak
     # subclass-of-filler entailments through the definition.
