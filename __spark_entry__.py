@@ -600,6 +600,20 @@ def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_byte_features(media, dim=8)
 
 
+def q_mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media decode through the pluggable decoder seam: deterministic
+    binary-PPM payloads synthesized from documents, decoded by the
+    registered pure-numpy P6 decoder, per-bin pixel histograms in exact
+    integer ppm (Arrow-batched mapInPandas, vectorized bincount)."""
+    from relation_graph_spark.ops.multimodal import (
+        decode_image_features,
+        synthesize_ppm,
+    )
+
+    media = synthesize_ppm(_t(spark, sf_dir, "documents"), width=4, height=2)
+    return decode_image_features(media, dim=8, fmt="ppm")
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: evenly-spaced byte offsets + sampled byte per
     media payload, pure column expressions."""
@@ -650,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_near_dup_pairs": q_ann_near_dup_pairs,
         "mm_decode_features": q_mm_decode_features,
         "mm_frame_sample": q_mm_frame_sample,
+        "mm_ppm_decode": q_mm_ppm_decode,
         "rg_incremental_stream": q_rg_incremental_stream,
         "rg_incremental_individuals": q_rg_incremental_individuals,
     }
@@ -1292,6 +1307,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, cosine_ppm,
                CAST(row_number() OVER (ORDER BY cosine_ppm DESC, vec_id ASC) AS INT) AS rank
         FROM s QUALIFY rank <= 10
+    """
+
+    # PPM pixels are the text right-padded with '.' to 4*2*3 = 24 bytes
+    # (documents are pure ASCII, so DuckDB chars == payload bytes); the
+    # engine decodes the P6 header + pixel block and histograms pixel>>5
+    q["mm_ppm_decode"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 substr(rpad(text, 24, '.'), 1, 24) AS px
+          FROM documents
+        ),
+        b AS (SELECT media_id, px, unnest(range(1, 25)) AS i FROM m),
+        byt AS (
+          SELECT media_id,
+                 ascii(substr(px, CAST(i AS INT), 1)) // 32 AS d
+          FROM b
+        ),
+        h AS (SELECT media_id, d, count(*) AS c FROM byt GROUP BY 1, 2),
+        dims AS (SELECT unnest(range(8)) AS dim_idx)
+        SELECT CAST(m.media_id AS BIGINT) AS media_id,
+               CAST(24 AS BIGINT) AS n_bytes,
+               CAST(dims.dim_idx AS INT) AS dim_idx,
+               CAST(coalesce(h.c, 0) * 1000000 // 24 AS BIGINT) AS feat_ppm
+        FROM m CROSS JOIN dims
+        LEFT JOIN h ON h.media_id = m.media_id AND h.d = dims.dim_idx
     """
 
     q["mm_frame_sample"] = """

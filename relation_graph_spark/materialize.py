@@ -469,12 +469,31 @@ def assemble_output(
             )
             eq_rows = sub_rows.where(F.lit(False))
         else:
-            mutual = scc.alias("a").join(
-                scc.alias("b"),
+            # mutual pairs (a ⊑* b and b ⊑* a) only exist between nodes on a
+            # subclass cycle, and a node is on a cycle iff the (non-reflexive)
+            # transitive closure contains its self-pair. Restricting to those
+            # vocabulary-rare cycle nodes first makes the mutuality check a
+            # broadcast semi-join + a tiny self-join, instead of an
+            # O(closure)-shuffle self-join of the whole taxonomy.
+            cyc = F.broadcast(
+                m["sc_closure"]
+                .where(F.col("sub") == F.col("sup"))
+                .select(F.col("sub").alias("cyc_c"))
+                .dropDuplicates()
+            )
+            scc_cyc = (
+                scc.join(cyc, scc["sub"] == cyc["cyc_c"], "left_semi")
+                .join(cyc, F.col("sup") == cyc["cyc_c"], "left_semi")
+                .localCheckpoint(eager=False)
+            )
+            mutual = scc_cyc.alias("a").join(
+                scc_cyc.alias("b"),
                 (F.col("a.sub") == F.col("b.sup")) & (F.col("a.sup") == F.col("b.sub")),
                 "left_semi",
             )
-            sub_rows = scc.join(mutual, on=["sub", "sup"], how="left_anti").select(
+            sub_rows = scc.join(
+                F.broadcast(mutual), on=["sub", "sup"], how="left_anti"
+            ).select(
                 F.col("sub").alias("s"),
                 F.lit(T.SUBCLASSOF).cast("int").alias("p"),
                 F.col("sup").alias("o"),

@@ -115,7 +115,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     `decode_image_features`, stubbed here); offsets are
     1 + floor(k * n_bytes / n_frames) — deterministic, oracle-checkable.
     """
-    n_bytes = F.length("payload").cast("bigint")
+    n_bytes = F.length("payload").cast("bigint")  # length on binary = bytes
     frames = media.select(
         "media_id",
         n_bytes.alias("n_bytes"),
@@ -123,9 +123,11 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
     ).where(n_bytes > 0)
     offset = F.expr(f"1 + (frame_idx * n_bytes) div {n_frames}")  # exact int
-    # payloads here are UTF-8 text bytes (synthesize_media); real binary
-    # payloads swap decode() for a direct byte slice
-    sample = F.ascii(F.decode(F.col("payload"), "UTF-8").substr(offset, F.lit(1)))
+    # TRUE byte semantics for arbitrary (non-UTF-8) payloads: substring on
+    # the BinaryType column slices bytes, hex+conv reads the byte value —
+    # no string decode anywhere, so offsets and samples are bytes even when
+    # the payload is genuine binary.
+    sample = F.conv(F.hex(F.col("payload").substr(offset, F.lit(1))), 16, 10)
     return frames.select(
         "media_id",
         F.col("frame_idx").cast("int").alias("frame_idx"),
@@ -134,17 +136,117 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
-def decode_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """Real image/audio decode + feature extraction — STUB.
+# ---------------------------------------------------------------------------
+# pluggable media decode
+# ---------------------------------------------------------------------------
+#
+# MEDIA_DECODERS maps a format name to `bytes -> np.ndarray(uint8)` of pixel
+# (or PCM) bytes. decode_image_features looks the decoder up per call; heavy
+# decoders (PIL, ffmpeg — absent in this sandbox) register under their own
+# format names in a real deployment without touching the Spark plumbing.
+# The registered default is a complete pure-numpy binary-PPM (P6) decoder.
 
-    The decode libraries (PIL / torchaudio / ffmpeg) are not available in
-    this environment. A real deployment decodes inside the same
-    ``mapInPandas`` batch loop that ``payload_byte_features`` uses (same
-    schema, same partitioning, same Arrow batch shape); see that function for
-    the live plumbing.
-    """
-    raise NotImplementedError(
-        "image/audio decode libraries are not available in this environment; "
-        "use payload_byte_features for the deterministic byte-level featurizer "
-        "with identical Spark-side plumbing"
+MEDIA_DECODERS: dict = {}
+
+
+def register_decoder(fmt: str, fn) -> None:
+    MEDIA_DECODERS[fmt] = fn
+
+
+def decode_ppm(payload: bytes):
+    """Binary PPM (P6): 'P6' <ws> width <ws> height <ws> maxval <single ws>
+    followed by width*height*3 raw pixel bytes ('#' comments allowed in the
+    header). Pure numpy/stdlib — no external decode libs."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # header comment
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * 3
+    px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+register_decoder("ppm", decode_ppm)
+
+
+def synthesize_ppm(docs: DataFrame, width: int = 4, height: int = 2) -> DataFrame:
+    """Deterministic P6 payloads from documents: pixel bytes are the text
+    right-padded with '.' and truncated to width*height*3 — binary column,
+    fully reproducible by a DuckDB oracle over the same table."""
+    n = width * height * 3
+    header = f"P6\n{width} {height}\n255\n"
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("media_id"),
+        F.encode(
+            F.concat(F.lit(header), F.substring(F.rpad(F.col("text"), n, "."), 1, n)),
+            "UTF-8",
+        ).alias("payload"),
     )
+
+
+def decode_image_features(media: DataFrame, dim: int = 8, fmt: str = "ppm") -> DataFrame:
+    """Decode the binary payload with the registered `fmt` decoder and emit
+    per-bin pixel-value histogram features in exact integer ppm (same output
+    schema/batching/partitioning as payload_byte_features).
+
+    The header parse is a small per-payload Python call (as any image decode
+    is); the feature computation is vectorized across the whole Arrow batch:
+    one buffer concat + one np.bincount over segment_id*dim + (pixel>>shift).
+
+    Raises NotImplementedError when no decoder is registered for `fmt` —
+    e.g. jpeg/png/wav in this sandbox, where PIL/ffmpeg are absent; register
+    one with `register_decoder` to extend.
+    """
+    decoder = MEDIA_DECODERS.get(fmt)
+    if decoder is None:
+        raise NotImplementedError(
+            f"no decoder registered for format {fmt!r} (available: "
+            f"{sorted(MEDIA_DECODERS)}); decode libraries such as PIL/ffmpeg "
+            "are not bundled in this environment — register_decoder() is the "
+            "extension seam"
+        )
+    assert dim > 0 and 256 % dim == 0
+    shift = (256 // dim).bit_length() - 1
+
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            pixel_bufs = [decoder(b).reshape(-1) for b in pdf["payload"]]
+            lens = np.fromiter((len(b) for b in pixel_bufs), dtype=np.int64, count=n)
+            buf = np.concatenate(pixel_bufs) if pixel_bufs else np.empty(0, np.uint8)
+            seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+            counts = np.bincount(
+                seg * dim + (buf >> shift), minlength=n * dim
+            ).reshape(n, dim)
+            safe = np.where(lens == 0, 1, lens)
+            ppm = counts * 1_000_000 // safe[:, None]
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(np.int64), dim),
+                    "n_bytes": np.repeat(lens, dim),
+                    "dim_idx": np.tile(np.arange(dim, dtype=np.int32), n),
+                    "feat_ppm": ppm.reshape(-1),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)

@@ -28,6 +28,24 @@ def test_materialized_relations_full_golden(spark):
     assert out == FX.GOLDEN_A_EXISTENTIAL | FX.GOLDEN_A_SUBCLASS
 
 
+def test_mutual_pairs_via_cycle_nodes_no_closure_self_join(spark):
+    """equivalence_as_subclass=False: mutual subsumption detection must come
+    from the (tiny) cycle-node set, not an O(closure) self-join — the
+    closure relation appears in the optimized plan a bounded number of
+    times, and the semantics still match the golden equivalence rows."""
+    rows = [
+        [T.AX_SUBCLASS, 11, 12],
+        [T.AX_SUBCLASS, 12, 13],
+        [T.AX_SUBCLASS, 13, 11],  # 3-cycle: all pairs mutually subsumed
+        [T.AX_SUBCLASS, 14, 11],  # plain edge into the cycle
+    ]
+    out = materialize(FX._rows_to_df(spark, rows, "cyc"), TEST_CFG)
+    got = triples(out)
+    eq = {(a, T.EQUIVALENTCLASS, b) for a in (11, 12, 13) for b in (11, 12, 13) if a != b}
+    sub = {(14, T.SUBCLASSOF, c) for c in (11, 12, 13)}
+    assert got == eq | sub
+
+
 def test_deep_feedback_chain_incremental_rounds(spark):
     """An equivalence-definition chain forcing k=4 R4 feedback rounds
     (A subClassOf E1 unlocks E1's told existential, which entails E2, ...):

@@ -344,6 +344,51 @@ def test_two_stage_topk_equals_global_sort(spark):
     assert [(v, c) for v, c, _ in got] == brute
 
 
+def test_ppm_decoder_and_registry():
+    """Pure-numpy P6 decoder: header comments, exact pixel recovery,
+    16-bit rejection; the registry raises NotImplementedError for formats
+    with no registered decoder (the declared extension seam)."""
+    import numpy as np
+    import pytest as _pt
+
+    from relation_graph_spark.ops.multimodal import decode_ppm, MEDIA_DECODERS
+
+    px = bytes(range(24))  # 4x2 RGB
+    img = decode_ppm(b"P6\n# a comment\n4 2\n255\n" + px)
+    assert img.shape == (2, 4, 3) and bytes(img.reshape(-1)) == px
+    with _pt.raises(ValueError):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with _pt.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    assert "ppm" in MEDIA_DECODERS
+
+
+def test_decode_image_features_unregistered_format(spark):
+    from relation_graph_spark.ops.multimodal import decode_image_features
+
+    media = spark.createDataFrame([(1, b"x")], "media_id bigint, payload binary")
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        decode_image_features(media, fmt="jpeg")
+
+
+def test_sample_frames_true_bytes_non_ascii(spark):
+    """sample_frames must slice BYTES, not decoded characters: a payload
+    with multi-byte UTF-8 and raw non-UTF-8 bytes yields the exact byte at
+    each 1-based offset."""
+    from relation_graph_spark.ops.multimodal import sample_frames
+
+    payload = "é".encode() + bytes([0x00, 0xFF, 0x80])  # C3 A9 00 FF 80
+    media = spark.createDataFrame([(1, payload)], "media_id bigint, payload binary")
+    got = {
+        (r.frame_idx, r.byte_offset, r.sample_byte)
+        for r in sample_frames(media, n_frames=4).collect()
+    }
+    # n_bytes=5 -> offsets 1 + (k*5)//4 = 1, 2, 3, 4
+    assert got == {(0, 1, 0xC3), (1, 2, 0xA9), (2, 3, 0x00), (3, 4, 0xFF)}
+
+
 def test_ivf_topk_two_stage_no_global_window(spark):
     """ivf_topk's final ranking must (a) equal the rank order implied by the
     exact scores and (b) carry no un-partitioned window over the full probed
