@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="compact OBO-style IRIs regardless of prefix file")
         p.add_argument("--master", default=None)
         p.add_argument("--shuffle-partitions", type=int, default=None)
+        # reference Config.scala:50-52 (verbose flag -> log level)
+        p.add_argument("--verbose", type=_parse_bool, default=False,
+                       metavar="true|false",
+                       help="INFO-level Spark logging (reference --verbose)")
     sp = sub.choices["stream"]
     sp.add_argument("--watermark-seconds", type=int, default=3600)
     sp.add_argument("--max-files-per-trigger", type=int, default=1)
@@ -143,18 +147,19 @@ def config_from_args(args, spark=None) -> "RGConfig":
     )
 
 
-def _write_presentation(spark, args, cfg, seq) -> None:
-    """Route the materialized edges through the presentation sink selected by
-    --mode (reference Main.scala:51-78): RDF/OWL -> N-Triples text, TSV ->
-    prefix-compacted TSV."""
+def _write_presentation(spark, args, cfg, edges_kind) -> None:
+    """Route ALREADY-materialized edges (s, p, o, kind) through the
+    presentation sink selected by --mode (reference Main.scala:51-78):
+    RDF/OWL -> N-Triples text, TSV -> prefix-compacted TSV. Takes the frames
+    the batch run already computed — the fixpoint runs exactly once."""
     from relation_graph_spark.config import OutputMode
-    from relation_graph_spark.materialize import materialize_presented
+    from relation_graph_spark.materialize import present_edges
     from relation_graph_spark.sinks import to_ntriples_file, to_tsv_file
 
     vocab = spark.read.parquet(args.vocab)
     prefixes = read_prefixes_yaml(args.prefixes) if args.prefixes else {}
-    presented = materialize_presented(
-        seq, cfg, vocab, prefixes=prefixes, obo_prefixes=args.obo_prefixes
+    presented = present_edges(
+        edges_kind, cfg, vocab, prefixes=prefixes, obo_prefixes=args.obo_prefixes
     )
     if cfg.mode == OutputMode.TSV:
         to_tsv_file(presented, f"{args.output}/triples_tsv")
@@ -172,17 +177,25 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(
         f"rgs-{args.cmd}", master=args.master, shuffle_partitions=args.shuffle_partitions
     )
+    spark.sparkContext.setLogLevel("INFO" if args.verbose else "ERROR")
     cfg = config_from_args(args, spark=spark)
 
     if args.cmd == "batch":
+        from relation_graph_spark.decode import decode_axioms, told_tables
         from relation_graph_spark.hashing import with_edge_hash
-        from relation_graph_spark.materialize import materialize
+        from relation_graph_spark.materialize import assemble_output, materialize_edges
 
         seq = spark.read.parquet(args.input)
-        edges = with_edge_hash(materialize(seq, cfg))
+        # ONE materialization feeds both the edge parquet and the optional
+        # presentation sink (kind column dropped from the parquet output)
+        told = told_tables(decode_axioms(seq))
+        edges_kind = assemble_output(
+            materialize_edges(told, cfg), cfg, with_kind=True
+        ).localCheckpoint(eager=False)
+        edges = with_edge_hash(edges_kind.select("s", "p", "o"))
         edges.write.mode("overwrite").parquet(f"{args.output}/edges")
         if args.vocab:
-            _write_presentation(spark, args, cfg, seq)
+            _write_presentation(spark, args, cfg, edges_kind)
         elif cfg.mode.value != "RDF":
             print(
                 f"note: --mode {cfg.mode.value} text output needs --vocab; "

@@ -593,18 +593,29 @@ def materialize_presented(
     - OWL: reified quads per existential edge (hashing.reify_owl)
     - TSV: longest-first prefix-compacted (s, p, o) strings (prefix module)
     """
-    from relation_graph_spark.config import OutputMode
+    told = told_tables(decode_axioms(seq_df))
+    edges_kind = assemble_output(materialize_edges(told, cfg), cfg, with_kind=True)
+    return present_edges(edges_kind, cfg, vocab, prefixes=prefixes, obo_prefixes=obo_prefixes)
+
+
+def present_edges(
+    edges_kind: DataFrame,
+    cfg: RGConfig,
+    vocab: DataFrame,
+    prefixes: dict[str, str] | None = None,
+    obo_prefixes: bool = True,
+) -> DataFrame:
+    """Presentation edge over ALREADY-materialized edges (columns s, p, o,
+    kind) — lets the CLI materialize once and feed both the edge parquet and
+    the text sink from the same frames (no second fixpoint run)."""
     from relation_graph_spark.hashing import reify_owl, to_iris
     from relation_graph_spark.prefix import compact_triples
 
     if cfg.mode == OutputMode.OWL:
         # kind column distinguishes individual-subject edges, which reify
         # via rdf:type instead of rdfs:subClassOf (RelationGraph.scala:149)
-        told = told_tables(decode_axioms(seq_df))
-        edges = assemble_output(materialize_edges(told, cfg), cfg, with_kind=True)
-        return reify_owl(edges, vocab)
-    edges = materialize(seq_df, cfg)
-    iri = to_iris(edges, vocab)
+        return reify_owl(edges_kind, vocab)
+    iri = to_iris(edges_kind.select("s", "p", "o"), vocab)
     if cfg.mode == OutputMode.TSV:
         return compact_triples(iri, prefixes or {}, obo_prefixes)
     return iri

@@ -198,6 +198,82 @@ def duplicate_clusters(
     )
 
 
+def duplicate_clusters_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log^2 n) rounds REGARDLESS of
+    component diameter, where min-label propagation needs O(diameter)
+    rounds. Same contract as duplicate_clusters: (docs, pairs) ->
+    (doc_id, cluster_id = min doc_id in component).
+
+    Use this tier when components can be long chains (transitive near-dup
+    chains, crawl-mirror link paths); the min-label tier wins on shallow
+    star-shaped near-dup components (see BENCH/BASELINE.md §4.4).
+    """
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        # large-star: every node links its larger neighbors to its minimum
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        ls = (
+            sym.join(mins, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .dropDuplicates()
+            .localCheckpoint(eager=False)
+        )
+        # small-star: every node links its smaller neighbors (and itself)
+        # to the minimum of that set; edges stay (larger -> smaller)
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        ss = (
+            ls.join(mins2, on="u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(mins2.select("u", F.col("mn").alias("v")))
+            .dropDuplicates()
+            .localCheckpoint(eager=False)
+        )
+        # fixpoint: the edge set is a stable star forest when unchanged
+        n_old, n_new = edges.count(), ss.count()
+        n_union = edges.unionByName(ss).dropDuplicates().count()
+        edges = ss
+        if n_old == n_new == n_union:
+            break
+    else:
+        raise RuntimeError("duplicate_clusters_star did not converge")
+    roots = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    return (
+        docs.select(F.col(doc_col).alias("node"))
+        .dropDuplicates()
+        .join(roots, on="node", how="left")
+        .select(
+            F.col("node").alias(doc_col),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Simhash fingerprint: per token a `bits`-wide md5-derived hash; each bit
     votes +1/-1 weighted by presence; bit set where the vote sum is positive.

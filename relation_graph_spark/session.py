@@ -38,6 +38,20 @@ def get_spark(
         # see closure.ensure_iteration_confs: Spark 4.1 constraint-rewrite bug
         # on localCheckpoint of semi-naive union plans
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # stateful-streaming state (applyInPandasWithState dedup,
+        # dropDuplicatesWithinWatermark, windowed aggs) lives in RocksDB —
+        # off-heap, spillable, incrementally checkpointed — instead of the
+        # default in-memory HDFSBackedStateStore, which caps state at
+        # executor heap. Spark 4.x bundles the provider. Override with
+        # RGS_STATE_STORE=hdfs to fall back.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            (
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+                if os.environ.get("RGS_STATE_STORE", "rocksdb").lower() == "rocksdb"
+                else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -304,7 +304,21 @@ class IncrementalClosureJob:
             "closure_edges_total": (
                 full_edges.count() if full_edges is not None else total
             ),
+            "state_bytes": self._state_bytes(),
         }
+
+    def _state_bytes(self) -> int | None:
+        """On-disk closure-state footprint at commit time (state is persisted
+        before the sink commit, so the figure covers this batch). None when
+        the state dir is not a local path (e.g. an object-store deploy)."""
+        try:
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, files in os.walk(self.state_dir)
+                for f in files
+            )
+        except OSError:
+            return None
 
     # ------------------------------------------------------------------ run
     def read_stream(self, max_files_per_trigger: int | None = 1) -> DataFrame:

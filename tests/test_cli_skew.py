@@ -62,6 +62,32 @@ def test_cli_batch_end_to_end(spark, tmp_path):
     assert edges.select("edge_hash").distinct().count() == len(got)
 
 
+def test_cli_verbose_flag(spark, tmp_path):
+    """--verbose true applies INFO logging (reference Config.scala:50-52);
+    default stays quiet (ERROR)."""
+    from relation_graph_spark import cli
+
+    inp = str(tmp_path / "seq")
+    FX.materialize_test(spark).write.parquet(inp)
+    sc = spark.sparkContext
+    jlog = sc._jvm.org.apache.log4j.LogManager.getRootLogger()
+    try:
+        rc = cli.main(
+            ["batch", "--input", inp, "--output", str(tmp_path / "o1"),
+             "--verbose", "true", "--master", "local[4]"]
+        )
+        assert rc == 0
+        assert str(jlog.getLevel()) == "INFO"
+        rc = cli.main(
+            ["batch", "--input", inp, "--output", str(tmp_path / "o2"),
+             "--master", "local[4]"]
+        )
+        assert rc == 0
+        assert str(jlog.getLevel()) == "ERROR"
+    finally:
+        sc.setLogLevel("ERROR")
+
+
 def _write_fixture_inputs(spark, tmp_path):
     inp = str(tmp_path / "seq")
     FX.materialize_test(spark).write.parquet(inp)

@@ -340,6 +340,10 @@ def test_stateful_dedup_operator(spark, tmp_path):
         pa.table({"edge_hash": ["h2", "h3"]}), os.path.join(inp, "b1.parquet")
     )
 
+    # the session runs stateful operators on the RocksDB provider (scale
+    # story: off-heap spillable state) — assert it's actually in effect
+    assert "RocksDB" in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+
     stream = (
         spark.readStream.schema("edge_hash string")
         .option("maxFilesPerTrigger", 1)
@@ -358,6 +362,13 @@ def test_stateful_dedup_operator(spark, tmp_path):
     q.awaitTermination()
     got = [r.edge_hash for r in spark.read.parquet(out_dir).collect()]
     assert sorted(got) == ["h1", "h2", "h3"]
+    # RocksDB state-store instances actually served the stateful operator
+    progress = q.lastProgress
+    ops = progress["stateOperators"]
+    assert ops and ops[0]["numRowsTotal"] >= 1
+    assert any(
+        "rocksdb" in k.lower() for k in ops[0].get("customMetrics", {})
+    ), ops[0]
 
 
 def test_watermarked_window_aggregation(spark, tmp_path):

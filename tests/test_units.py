@@ -270,8 +270,10 @@ def test_multimodal_features_and_stub_contract(spark):
     docs = _docs(spark, ["hello world", "abc"])
     media = synthesize_media(docs)
     assert dict(media.dtypes)["payload"] == "binary"
+    # registry seam: formats whose decode libs are absent raise; the
+    # bundled pure-numpy ppm decoder is registered (tested separately)
     with pytest.raises(NotImplementedError):
-        decode_image_features(media)
+        decode_image_features(media, fmt="jpeg")
     got = payload_byte_features(media, dim=4).collect()
     # one row per (media, dim); exact integer ppm
     assert len(got) == 2 * 4
@@ -342,6 +344,38 @@ def test_two_stage_topk_equals_global_sort(spark):
              scored.orderBy(F.col("cosine_ppm").desc(), F.col("vec_id").asc())
              .limit(7).collect()]
     assert [(v, c) for v, c, _ in got] == brute
+
+
+def test_duplicate_clusters_star_matches_min_label(spark):
+    """large-star/small-star CC == min-label CC on mixed star/chain/cycle
+    components; and it converges on a chain far deeper than the min-label
+    round budget (O(log n) vs O(diameter) rounds)."""
+    from relation_graph_spark.ops.dedup import duplicate_clusters, duplicate_clusters_star
+
+    pairs = (
+        [(1, 2), (1, 3), (1, 4)]            # star
+        + [(10, 11), (11, 12), (12, 13)]    # short chain
+        + [(20, 21), (21, 22), (22, 20)]    # cycle
+    )
+    pdf = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 5)] + [(i,) for i in range(10, 14)]
+        + [(i,) for i in range(20, 23)] + [(99,)],  # 99 = singleton
+        "doc_id bigint",
+    )
+    want = {(r.doc_id, r.cluster_id) for r in duplicate_clusters(docs, pdf).collect()}
+    got = {(r.doc_id, r.cluster_id) for r in duplicate_clusters_star(docs, pdf).collect()}
+    assert got == want
+    assert (99, 99) in got and (13, 10) in got and (22, 20) in got
+
+    # adversarial 300-deep chain: min-label would need 300 rounds (over its
+    # 50-round budget); star contraction converges in O(log n)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "doc_a bigint, doc_b bigint"
+    )
+    cdocs = spark.createDataFrame([(i,) for i in range(301)], "doc_id bigint")
+    out = duplicate_clusters_star(cdocs, chain, max_iterations=20)
+    assert {r.cluster_id for r in out.collect()} == {0}
 
 
 def test_ppm_decoder_and_registry():
