@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--classes", type=int, default=4000)
     ap.add_argument("--props", type=int, default=4)
     ap.add_argument("--some", type=int, default=20000)
+    ap.add_argument(
+        "--tail-batches", type=int, default=2,
+        help="tiny trailing batches (a few told rows each): their rel "
+        "deltas touch few buckets, demonstrating the bucket-pruned "
+        "history anti-join scanning a fraction of the persisted state",
+    )
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -65,10 +71,37 @@ def main():
             ("ts", pa.timestamp("us")),
         ]
     )
+    # tail batches: tiny isolated deltas (fresh classes, no hierarchy
+    # fan-out) — each adds ~2 relation rows, so its bucket-pruned history
+    # anti-join touches only a couple of the REL_BUCKETS partitions
+    def _tail_tokens(i):
+        base = 1_000_000 + i * 10
+        return [[102, base + 2 * j, 21, base + 2 * j + 1] for j in range(2)]
+
+    def _tail_recs(i):
+        return [
+            {
+                "doc_id": f"tail{i:04d}_{j}",
+                "tokens": toks,
+                "n_tok": len(toks),
+                "source": "tail",
+                "ts": recs[-1]["ts"],
+            }
+            for j, toks in enumerate(_tail_tokens(i))
+        ]
+
+    rows_golden = rows + [
+        t for i in range(args.tail_batches) for t in _tail_tokens(i)
+    ]
+
     k = (len(recs) + args.batches - 1) // args.batches
-    for i in range(args.batches):
-        part = recs[i * k : (i + 1) * k]
-        pq.write_table(pa.Table.from_pylist(part, schema=schema), f"{inp}/p{i:04d}.parquet")
+    parts = [recs[i * k : (i + 1) * k] for i in range(args.batches)]
+    parts += [_tail_recs(i) for i in range(args.tail_batches)]
+    for i, part in enumerate(parts):
+        path = f"{inp}/p{i:04d}.parquet"
+        pq.write_table(pa.Table.from_pylist(part, schema=schema), path)
+        t = 1_700_000_000 + i * 10  # strictly increasing mtimes = batch order
+        os.utime(path, (t, t))
 
     cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
     job = IncrementalClosureJob(spark, inp, os.path.join(work, "w"), cfg)
@@ -92,15 +125,16 @@ def main():
     }
     batch_set = {
         (r.s, r.p, r.o)
-        for r in materialize(_rows_to_df(spark, rows, "bench"), cfg).collect()
+        for r in materialize(_rows_to_df(spark, rows_golden, "bench"), cfg).collect()
     }
     assert stream_set == batch_set, (
         f"stream != batch: {len(stream_set)} vs {len(batch_set)}"
     )
 
-    ratio = (
-        round(per_batch[-1] / per_batch[2], 3) if len(per_batch) >= 3 else None
-    )
+    # flat ratio over the equal-sized MAIN batches (tail batches are the
+    # tiny pruning probes, not comparable units of work)
+    last_main = per_batch[args.batches - 1]
+    ratio = round(last_main / per_batch[2], 3) if args.batches >= 3 else None
     # bucket-pruned history-join evidence: per fast-path batch, the bytes the
     # rel-history anti-join scans (delta-touched bucket dirs) vs the total
     # persisted rel state at that moment

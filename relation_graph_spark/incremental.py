@@ -258,20 +258,19 @@ def apply_delta(
         not delta_told["def_some"].isEmpty()
     )
     if has_feedback:
+        # sc/some/def_some/sp/assertions are deduplicated again inside
+        # initial_state/materialize_edges — only classes/props (consumed
+        # raw by reflexive-row assembly) need the dedup here
         merged = {
-            "sc": state["sc"].unionByName(delta_told["sc"]).dropDuplicates(),
-            "some": state["some"].unionByName(delta_told["some"]).dropDuplicates(),
-            "def_some": state["def_some"]
-            .unionByName(delta_told["def_some"])
-            .dropDuplicates(),
-            "sp": state["sp"].unionByName(delta_told["sp"]).dropDuplicates(),
+            "sc": state["sc"].unionByName(delta_told["sc"]),
+            "some": state["some"].unionByName(delta_told["some"]),
+            "def_some": state["def_some"].unionByName(delta_told["def_some"]),
+            "sp": state["sp"].unionByName(delta_told["sp"]),
             "classes": state["classes"]
             .unionByName(delta_told["classes"])
             .dropDuplicates(),
             "props": state["props"].unionByName(delta_told["props"]).dropDuplicates(),
-            "assertions": state["assertions"]
-            .unionByName(delta_told["assertions"])
-            .dropDuplicates(),
+            "assertions": state["assertions"].unionByName(delta_told["assertions"]),
         }
         return initial_state(merged, cfg), None
 

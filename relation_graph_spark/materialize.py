@@ -256,8 +256,12 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
         # and re-derives only the relation rows that involve a new closure
         # pair (delta-restricted R3, same discipline as the streaming
         # engine) — per-round work is proportional to the round's delta, not
-        # a full recompute of the most expensive stage.
+        # a full recompute of the most expensive stage. Below the
+        # cost-crossover (tiny told tables, where per-job fixed cost
+        # dominates) rounds fall back to the plain full recompute.
         from relation_graph_spark.closure import incremental_tc
+
+        incremental_rounds = some.count() > cfg.incremental_feedback_threshold
 
         def _r4_new_sc(rel_df, sc_df):
             # x subClassOf F whenever x satisfies F's definition (p some y)
@@ -280,6 +284,12 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
             if new_sc.isEmpty():
                 break
             sc = sc.unionByName(new_sc).localCheckpoint(eager=False)
+            if not incremental_rounds:
+                sc_tc, sc_star = _sc_star(sc, classes, cfg)
+                rel = derive_relations(sc_star, some, sp_star, thr).localCheckpoint(
+                    eager=False
+                )
+                continue
             sc_tc, d_tc = incremental_tc(
                 sc_tc, new_sc, max_iterations=cfg.max_iterations,
                 broadcast_row_threshold=thr,
