@@ -140,24 +140,30 @@ class IncrementalClosureJob:
 
         batch_df = batch_df.localCheckpoint()
 
-        # explicit event-time watermark + late-row accounting
+        # ONE batch-sized aggregation covers the watermark (max event ts),
+        # late-row accounting, and per-source lineage counts — instead of a
+        # count + a max + a groupBy job per batch
         n_late = 0
         hwm = self._load_hwm()
-        if "ts" in batch_df.columns:
-            if hwm is not None:
-                horizon_cut = hwm - self.horizon
-                late = batch_df.where(
-                    F.unix_timestamp("ts").cast("double") < F.lit(horizon_cut)
-                )
-                n_late = late.count()
-                batch_df = batch_df.where(
-                    F.unix_timestamp("ts").cast("double") >= F.lit(horizon_cut)
-                )
-            new_max = batch_df.agg(
-                F.max(F.unix_timestamp("ts").cast("double"))
-            ).collect()[0][0]
-            if new_max is not None:
-                hwm = max(hwm or float("-inf"), float(new_max))
+        has_ts = "ts" in batch_df.columns
+        horizon_cut = (hwm - self.horizon) if (has_ts and hwm is not None) else None
+        ts_sec = F.unix_timestamp("ts").cast("double") if has_ts else F.lit(None)
+        is_late = (
+            ts_sec < F.lit(horizon_cut) if horizon_cut is not None else F.lit(False)
+        )
+        stats = batch_df.groupBy("source").agg(
+            F.sum(F.when(is_late, 1).otherwise(0)).alias("n_late"),
+            F.count(F.when(~is_late, 1)).alias("n"),
+            F.max(F.when(~is_late, ts_sec)).alias("max_ts"),
+        ).collect()
+        n_late = sum(r["n_late"] for r in stats)
+        batch_per_source = {r["source"]: r["n"] for r in stats if r["n"]}
+        if has_ts:
+            if horizon_cut is not None and n_late:
+                batch_df = batch_df.where(ts_sec >= F.lit(horizon_cut))
+            maxes = [r["max_ts"] for r in stats if r["max_ts"] is not None]
+            if maxes:
+                hwm = max(hwm or float("-inf"), float(max(maxes)))
                 self._store_hwm(hwm)
 
         # told-state trail (audit/replay; lineage metrics come from running
@@ -180,13 +186,6 @@ class IncrementalClosureJob:
             save_state_delta,
             save_state_snapshot,
         )
-
-        # per-partition lineage: this batch's told rows by source (batch-sized
-        # aggregation; running totals accumulate manifest-to-manifest)
-        batch_per_source = {
-            r["source"]: r["n"]
-            for r in batch_seq.groupBy("source").agg(F.count("*").alias("n")).collect()
-        }
 
         delta_told = told_tables(
             decode_axioms(batch_seq.select("doc_id", "tokens", "n_tok", "source"))

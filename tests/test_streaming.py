@@ -294,6 +294,49 @@ def test_streaming_individuals_late_unsat_retracts_ind_rows(spark, tmp_path):
     assert sum(m["n_tombstones"] for m in job.metrics()) >= 4
 
 
+def test_streaming_individuals_resume_from_checkpoint(spark, tmp_path):
+    """Kill after 2 of 4 individuals-mode batches; a fresh job instance
+    resumes from checkpoint + manifests + state store and converges to the
+    batch semantics (incl. the late-unsat retraction delivered after the
+    restart)."""
+    batches = _IND_BATCHES + [[[T.AX_SUBCLASS, 12, T.BOT]]]
+    inp = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    _write_token_batches(spark, inp, batches[:2])
+    job = IncrementalClosureJob(spark, inp, work, IND_CFG)
+    job.run_available(max_files_per_trigger=1)
+    assert len(job.metrics()) == 2
+
+    # deliver the remaining batches, restart with a NEW instance
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+    recs = []
+    doc = 100
+    for i, rows in enumerate(batches[2:]):
+        part = []
+        for toks in rows:
+            doc += 1
+            part.append(
+                {
+                    "doc_id": f"y{doc:08d}",
+                    "tokens": [int(t) for t in toks],
+                    "n_tok": len(toks),
+                    "source": f"batch{i + 2}",
+                    "ts": t0 + timedelta(seconds=doc),
+                }
+            )
+        recs.append(part)
+    for i, part in enumerate(recs):
+        write_seq_file(inp, f"late{i}.parquet", part)
+    job2 = IncrementalClosureJob(spark, inp, work, IND_CFG)
+    job2.run_available(max_files_per_trigger=1)
+    assert _sink_triples(job2) == _batch_golden(spark, batches, IND_CFG)
+    out = job2.result_edges()
+    assert out.count() == out.select("edge_hash").distinct().count()
+    assert len(job2.metrics()) == 4
+
+
 def test_lineage_running_totals(spark, tmp_path):
     inp = str(tmp_path / "in")
     _write_batches(spark, inp, [(1, 7), (8, 10), (11, 12)])
