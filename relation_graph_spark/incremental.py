@@ -628,34 +628,48 @@ def assemble_delta(
         if cfg.equivalence_as_subclass:
             new_rows = new_rows.unionByName(_spo(scc_delta, "sub", T.SUBCLASSOF, "sup"))
         else:
-            tc_all = (
+            # mutual pairs only exist between CYCLE nodes (nodes whose
+            # self-pair is in the closure — same restriction as
+            # assemble_output): reduce the closure to that vocabulary-rare
+            # set with broadcast semi-joins before any pair matching, so no
+            # O(closure) shuffle happens per batch
+            cyc = F.broadcast(
+                state_new["sc_tc"]
+                .where(F.col("sub") == F.col("sup"))
+                .select(F.col("sub").alias("cyc_c"))
+                .dropDuplicates()
+            )
+            tc_cyc = (
                 state_new["sc_tc"]
                 .where(
                     _not_builtin("sub")
                     & _not_builtin("sup")
                     & (F.col("sub") != F.col("sup"))
                 )
+                .join(cyc, F.col("sub") == F.col("cyc_c"), "left_semi")
+                .join(cyc, F.col("sup") == F.col("cyc_c"), "left_semi")
                 .localCheckpoint(eager=False)
             )
-            rev_all = tc_all.select(
-                F.col("sup").alias("sub"), F.col("sub").alias("sup")
+            rev_cyc = F.broadcast(
+                tc_cyc.select(F.col("sup").alias("sub"), F.col("sub").alias("sup"))
             )
             # delta pairs: mutual ones emit as EQUIVALENTCLASS
-            d_mutual = scc_delta.join(rev_all, on=["sub", "sup"], how="left_semi")
-            d_plain = scc_delta.join(rev_all, on=["sub", "sup"], how="left_anti")
+            d_mutual = scc_delta.join(rev_cyc, on=["sub", "sup"], how="left_semi")
+            d_plain = scc_delta.join(rev_cyc, on=["sub", "sup"], how="left_anti")
             new_rows = new_rows.unionByName(_spo(d_plain, "sub", T.SUBCLASSOF, "sup"))
             new_rows = new_rows.unionByName(
                 _spo(d_mutual, "sub", T.EQUIVALENTCLASS, "sup")
             )
             # reverse activation: an OLD pair whose reverse just arrived was
             # emitted as subClassOf and is now an equivalence -> emit the EQ
-            # row, tombstone the SUB row
+            # row, tombstone the SUB row. Activated pairs are mutual, hence
+            # inside the (tiny) cycle-restricted closure.
             rev_delta = deltas["sc_tc"].select(
                 F.col("sup").alias("sub"), F.col("sub").alias("sup")
             )
             activated = (
                 _taxo_base(
-                    tc_all.join(deltas["sc_tc"], on=["sub", "sup"], how="left_anti")
+                    tc_cyc.join(deltas["sc_tc"], on=["sub", "sup"], how="left_anti")
                 )
                 .join(rev_delta, on=["sub", "sup"], how="left_semi")
                 .localCheckpoint(eager=False)
@@ -685,16 +699,17 @@ def assemble_delta(
                     _spo(bad_tc, "sub", T.SUBCLASSOF, "sup")
                 )
             else:
-                # retract whichever predicate the row was emitted under
-                rev_bad = bad_tc.select(
-                    F.col("sup").alias("sub"), F.col("sub").alias("sup")
-                )
-                tc_prev = state_new["sc_tc"].join(
+                # retract whichever predicate the row was emitted under; a
+                # previously-mutual pair lives inside the cycle-restricted
+                # closure (tc_cyc from the emission branch above)
+                tc_prev = tc_cyc.join(
                     deltas["sc_tc"], on=["sub", "sup"], how="left_anti"
                 )
                 bad_mut = bad_tc.join(
-                    tc_prev.select(
-                        F.col("sup").alias("sub"), F.col("sub").alias("sup")
+                    F.broadcast(
+                        tc_prev.select(
+                            F.col("sup").alias("sub"), F.col("sub").alias("sup")
+                        )
                     ),
                     on=["sub", "sup"],
                     how="left_semi",
