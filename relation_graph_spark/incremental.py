@@ -786,11 +786,36 @@ def _write_rel_bucketed(rel: DataFrame, path: str) -> None:
     ).parquet(path)
 
 
+def _pin_layout(root: str) -> None:
+    """Persist the bucket count on first write and REFUSE to continue under
+    a different one: pruned anti-joins assume every file in the store was
+    bucketed with the same modulus, so a silent change would skip history
+    buckets and re-emit duplicates."""
+    import json as _json
+
+    path = os.path.join(root, "layout.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            pinned = _json.load(fh)["rel_buckets"]
+        if pinned != REL_BUCKETS:
+            raise RuntimeError(
+                f"state store at {root} was written with rel_buckets={pinned}; "
+                f"current RGS_REL_BUCKETS={REL_BUCKETS} would mis-prune the "
+                "history anti-join — restart with the pinned value (or "
+                "rewrite the store)"
+            )
+        return
+    os.makedirs(root, exist_ok=True)
+    with open(path, "w") as fh:
+        _json.dump({"rel_buckets": REL_BUCKETS}, fh)
+
+
 def save_state_snapshot(
     state: dict[str, DataFrame], root: str, batch_id: int
 ) -> list[str]:
     """Persist all frames; rel is written hash-bucketed (see REL_BUCKETS).
     Returns the rel path list for subsequent pruned history reads."""
+    _pin_layout(root)
     for name in STATE_FRAMES:
         path = os.path.join(root, f"snap-{batch_id}", name)
         if name == "rel":
@@ -806,6 +831,7 @@ def save_state_delta(
     # empty deltas are skipped (a missing frame dir loads as empty) — most
     # batches only grow 2-3 of the 9 frames, and every avoided write is one
     # fewer Spark job on the per-batch critical path
+    _pin_layout(root)
     rel_path = None
     for name in STATE_FRAMES:
         if not deltas[name].isEmpty():
@@ -846,6 +872,7 @@ def load_state(
     snaps = [b for b in snapshot_batches(root) if b in committed_set]
     if not snaps:
         return None
+    _pin_layout(root)
     base = max(snaps)
     deltas = [b for b in delta_batches(root) if b in committed_set and b > base]
     state = {}

@@ -103,11 +103,26 @@ class IdempotentParquetSink:
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 32):
         self.spark = spark
         self.root = root
-        self.n_buckets = n_buckets
         self.data_dir = os.path.join(root, "data")
         self.tombstone_dir = os.path.join(root, "tombstones")
         self.manifest_dir = os.path.join(root, "manifest")
         os.makedirs(self.manifest_dir, exist_ok=True)
+        # pin the bucket modulus on first use: the pruned history anti-join
+        # assumes every committed file shares it, so reopening an existing
+        # sink with a different count must fail loudly, not mis-prune
+        layout = os.path.join(root, "layout.json")
+        if os.path.exists(layout):
+            with open(layout) as fh:
+                pinned = json.load(fh)["n_buckets"]
+            if pinned != n_buckets:
+                raise RuntimeError(
+                    f"sink at {root} was written with n_buckets={pinned}; "
+                    f"got n_buckets={n_buckets} — reopen with the pinned value"
+                )
+        else:
+            with open(layout, "w") as fh:
+                json.dump({"n_buckets": n_buckets}, fh)
+        self.n_buckets = n_buckets
 
     def _bucket_col(self) -> F.Column:
         return F.pmod(F.xxhash64("edge_hash"), F.lit(self.n_buckets)).cast("int")

@@ -348,6 +348,21 @@ def test_lineage_running_totals(spark, tmp_path):
     assert ms[0]["told_rows_by_source"] == {"materialize_test": 7}
 
 
+def test_bucket_layout_pinned(spark, tmp_path):
+    """The sink pins its bucket modulus on first use: reopening an existing
+    store with a different count must fail loudly (a silent change would
+    mis-prune the history anti-join and re-emit duplicates)."""
+    import pytest as _pt
+
+    from relation_graph_spark.sinks import IdempotentParquetSink
+
+    root = str(tmp_path / "sink")
+    IdempotentParquetSink(spark, root, n_buckets=32)
+    IdempotentParquetSink(spark, root, n_buckets=32)  # same modulus: fine
+    with _pt.raises(RuntimeError, match="n_buckets=32"):
+        IdempotentParquetSink(spark, root, n_buckets=16)
+
+
 def test_inmemory_sink_binding(spark, tmp_path):
     """The EdgeSink seam: running the pipeline against the in-memory binding
     produces the same live edge set as the parquet binding."""
