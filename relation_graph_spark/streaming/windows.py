@@ -80,6 +80,79 @@ def session_agg(
     )
 
 
+def assign_sessions(
+    edges_ts: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tag every row with its session start (gaps-and-islands): a new
+    session opens when the gap since the key's previous event EXCEEDS
+    `gap` — the exact semantics of Spark's `session_window` (a session
+    spans [first_ts, last_ts + gap] and touching ranges merge: an event
+    landing exactly on the close boundary EXTENDS the session; equivalence
+    asserted in tests/test_streaming.py gap-boundary test).
+
+    Physical shape: ONE shuffle on `key_col` + a per-key sort (two window
+    functions over the same frame collapse into a single Window exec) — no
+    per-session collect_list, no driver loop. Hot keys are the skew caveat;
+    at cluster scale a key with pathological volume would route through the
+    same salting discipline as R3 (skew module)."""
+    from pyspark.sql import Window
+
+    gap_expr = f"INTERVAL {gap}"
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in (order_cols or [])]
+    )
+    prev_ts = F.lag(ts_col).over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | (F.col(ts_col) > prev_ts + F.expr(gap_expr)),
+        1,
+    ).otherwise(0)
+    # explicit ROWS frame: the default RANGE frame would include ts-peers
+    # of the current row and mis-assign islands under tied timestamps
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_island = edges_ts.withColumn("_island", F.sum(new_s).over(w_run))
+    sess = Window.partitionBy(key_col, "_island")
+    return with_island.withColumn(
+        "sess_start", F.min(ts_col).over(sess)
+    ).drop("_island")
+
+
+def session_closure(
+    edges_ts: DataFrame,
+    gap: str = "30 minutes",
+    child: str = "child",
+    parent: str = "parent",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-session fixpoint (SURVEY.md 7.2(d)): transitive closure scoped to
+    each (key, session window with `gap` inactivity) — paths never cross
+    sessions — computed for ALL sessions in one distributed job (the
+    session start is just another join/dedup key; no per-session loop).
+    Returns (key_col, sess_start, child, parent).
+
+    Late-data semantics under recompute: a late row landing between two
+    previously-separate sessions of a key MERGES them (its arrival closes
+    the gap), and the merged session's closure connects paths that crossed
+    the old boundary — asserted by the reopen test in tests/. In a
+    streaming deployment this is exactly why session-window state must stay
+    open until the watermark passes sess_end + gap; after that the
+    assignment is final and the per-session closure is append-only."""
+    from relation_graph_spark.closure import transitive_closure
+
+    tagged = assign_sessions(
+        edges_ts, gap=gap, ts_col=ts_col, key_col=key_col,
+        order_cols=[child, parent],
+    ).select(key_col, "sess_start", child, parent)
+    return transitive_closure(
+        tagged, child=child, parent=parent, group_cols=[key_col, "sess_start"]
+    )
+
+
 def windowed_transitive_closure(
     edges_ts: "DataFrame",
     duration: str,

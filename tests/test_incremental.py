@@ -27,7 +27,9 @@ def _told(spark, rows, source):
 def _fold(spark, row_splits):
     state = initial_state(_told(spark, row_splits[0], "s0"), CFG)
     for i, part in enumerate(row_splits[1:], 1):
-        state, _deltas = apply_delta(state, _told(spark, part, f"s{i}"), CFG)
+        state, deltas = apply_delta(state, _told(spark, part, f"s{i}"), CFG)
+        # every fold is delta-sized — including under equivalence feedback
+        assert deltas is not None
     return triples(assemble_from_state(state, CFG))
 
 
@@ -54,12 +56,48 @@ def test_incremental_fast_path_no_feedback(spark):
     assert (14, 21, 11) in inc  # subject descends through the new edge
 
 
-def test_incremental_feedback_fallback_equals_batch(spark):
-    # fixture A carries an equivalence definition -> fallback full recompute,
-    # split across 3 deltas must still equal the one-shot goldens
+def test_incremental_feedback_equals_batch(spark):
+    # fixture A carries an equivalence definition -> incremental R4 feedback
+    # rounds on the delta path; split across 3 deltas must still equal the
+    # one-shot goldens (incl. the E ⊑ F feedback entailment)
     rows = FX.MATERIALIZE_TEST_ROWS
     inc = _fold(spark, [rows[:7], rows[7:10], rows[10:]])
     assert inc == FX.GOLDEN_A_EXISTENTIAL | FX.GOLDEN_A_SUBCLASS
+
+
+def test_incremental_equiv_def_before_and_after_members(spark):
+    # definitions arriving BEFORE their member axioms (F ≡ p some B in b0,
+    # members in b1) and AFTER them (G ≡ p some A in b2, against rel rows
+    # derived in earlier folds), plus a late told edge (b3) widening filler
+    # closures under both standing definitions
+    import __spark_entry__ as entry
+
+    batches = entry._EQUIV_STREAM_BATCHES
+    batch = triples(
+        materialize(FX._rows_to_df(spark, [r for b in batches for r in b], "b"), CFG)
+    )
+    inc = _fold(spark, batches)
+    assert inc == batch
+    # late-definition activation against accumulated rel: E ⊑ G, F ⊑ G
+    assert (15, FX.T.SUBCLASSOF, 17) in inc
+    assert (16, FX.T.SUBCLASSOF, 17) in inc
+    # def-before-members: members arriving later still close under F
+    assert (15, FX.T.SUBCLASSOF, 16) in inc
+
+
+def test_incremental_equiv_generated_equals_batch(spark):
+    # generated ontology + equivalence definitions sprinkled in, split 3 ways
+    rows = FX.gen_ontology_rows(60, 3, 120)
+    base_c, base_p = 100, 160
+    defs = [
+        [FX.T.AX_EQUIV_SOME, base_c + 55 + i, base_p + i % 3, base_c + 7 * i % 50]
+        for i in range(4)
+    ]
+    rows = rows + defs
+    batch = triples(materialize(FX._rows_to_df(spark, rows, "g"), CFG))
+    k = len(rows) // 3
+    inc = _fold(spark, [rows[:k], rows[k : 2 * k], rows[2 * k :]])
+    assert inc == batch
 
 
 def test_incremental_late_subproperty_axiom(spark):

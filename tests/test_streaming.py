@@ -337,6 +337,352 @@ def test_streaming_individuals_resume_from_checkpoint(spark, tmp_path):
     assert len(job2.metrics()) == 4
 
 
+def test_session_assignment_matches_native_session_window(spark):
+    """assign_sessions (gaps-and-islands) must reproduce Spark's native
+    session_window partitioning EXACTLY at the gap boundary: a session
+    spans [first, last+gap] and touching ranges MERGE, so an event landing
+    precisely at last_ts + gap extends the session; one second past it
+    opens a new one."""
+    from datetime import datetime, timedelta
+
+    from relation_graph_spark.streaming.windows import assign_sessions
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        ("u1", t0),
+        ("u1", t0 + timedelta(minutes=29, seconds=59)),  # inside gap: extends
+        ("u1", t0 + timedelta(minutes=59, seconds=59)),  # EXACT boundary: extends
+        ("u1", t0 + timedelta(minutes=90)),  # boundary + 1s: NEW session
+        ("u1", t0 + timedelta(minutes=200)),  # clearly new
+        ("u2", t0 + timedelta(minutes=10)),
+        ("u2", t0 + timedelta(minutes=10)),  # tied ts: same session
+        ("u2", t0 + timedelta(minutes=39, seconds=59)),  # inside: extends
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    native = {
+        (r.user_id, r.sess_start, r.n)
+        for r in df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.min("ts").alias("sess_start"), F.count("*").alias("n"))
+        .collect()
+    }
+    mine = {
+        (r.user_id, r.sess_start, r.n)
+        for r in assign_sessions(df, "30 minutes")
+        .groupBy("user_id", "sess_start")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert mine == native
+    assert len(mine) == 4  # u1: 3 sessions, u2: 1
+
+
+def test_session_closure_late_row_merges_sessions(spark):
+    """Late row inside the gap of two previously-separate sessions MERGES
+    them on recompute, and the merged session's closure connects paths that
+    crossed the old boundary (the reopen case of SURVEY.md 7.2(d))."""
+    from datetime import datetime, timedelta
+
+    from relation_graph_spark.streaming.windows import session_closure
+
+    t0 = datetime(2026, 1, 1)
+    base = [
+        ("u1", t0, 1, 2),
+        ("u1", t0 + timedelta(minutes=50), 2, 3),
+    ]
+    schema = "user_id string, ts timestamp, child bigint, parent bigint"
+
+    def pairs(rows):
+        out = session_closure(
+            spark.createDataFrame(rows, schema), "30 minutes", key_col="user_id"
+        )
+        return {(r.user_id, r.sess_start, r.child, r.parent) for r in out.collect()}
+
+    before = pairs(base)
+    # two sessions, no cross-session path 1 -> 3
+    assert {(p[2], p[3]) for p in before} == {(1, 2), (2, 3)}
+    assert len({p[1] for p in before}) == 2
+    # late bridging row: 25 min from both neighbors -> single merged session
+    after = pairs(base + [("u1", t0 + timedelta(minutes=25), 4, 5)])
+    assert (u := {p[1] for p in after}) == {t0}, u
+    assert ("u1", t0, 1, 3) in after  # closure crosses the old boundary
+
+
+def test_dedup_new_rejects_non_layout_key(spark, tmp_path):
+    """Pruned dedup is only sound on the bucket-layout key; any other key
+    must fail loudly instead of silently scanning all committed history."""
+    from relation_graph_spark.sinks import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(spark, str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [(1, 2, 3, "e", "h")], "s int, p int, o int, edge string, edge_hash string"
+    )
+    sink.append(df, 0)
+    assert sink.dedup_new(df).count() == 0  # layout key prunes + dedups
+    with pytest.raises(ValueError, match="bucket-layout key"):
+        sink.dedup_new(df, key="edge")
+
+
+def _chain_batches(n):
+    """n tiny batches growing a subclass chain 100 <- 101 <- ... <- 100+n-1."""
+    batches = [[[105, 100]]]
+    for i in range(1, n):
+        batches.append([[105, 100 + i], [101, 100 + i, 100 + i - 1]])
+    return batches
+
+
+def test_sink_compaction_long_stream(spark, tmp_path):
+    """Long stream with an aggressive compaction policy: live set unchanged,
+    batch-dir count bounded, tombstones still applied across a major merge,
+    manifest totals and the exactly-once replay guard survive folding."""
+    from relation_graph_spark.materialize import materialize
+    from relation_graph_spark.sinks import IdempotentParquetSink
+
+    inp = str(tmp_path / "in")
+    # final batch: late unsat (105 subClassOf owl:Nothing) retracts every
+    # committed row whose object sits at or below 105
+    batches = _chain_batches(12) + [[[101, 105, 2]]]
+    _write_token_batches(spark, inp, batches)
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    work = str(tmp_path / "work")
+    sink = IdempotentParquetSink(
+        spark, os.path.join(work, "sink"), compact_min_batches=4
+    )
+    job = IncrementalClosureJob(spark, inp, work, cfg, sink=sink)
+    job.run_available(max_files_per_trigger=1)
+
+    rows = [r for b in batches for r in b]
+    golden = {
+        (r.s, r.p, r.o)
+        for r in materialize(FX._rows_to_df(spark, rows, "c"), cfg).collect()
+    }
+    assert _sink_triples(job) == golden
+    # bounded layout: un-folded batch dirs stay under the fold threshold
+    data_dirs = (
+        [d for d in os.listdir(sink.data_dir) if d.startswith("batch=")]
+        if os.path.isdir(sink.data_dir)
+        else []
+    )
+    assert len(data_dirs) < 4
+    marker = sink._compaction()
+    assert marker["runs"], "expected at least one compaction run"
+    # manifest folding happened and totals survived it
+    ms = job.metrics()
+    assert any(m.get("compacted") for m in ms)
+    assert sum(m.get("n_rows", 0) for m in ms) >= len(golden)
+    # exactly-once guard recognizes batches whose manifests were folded
+    assert sink.is_committed(0)
+    before = _sink_triples(job)
+    batch_df = spark.read.schema(SEQ_TS_SCHEMA).parquet(inp)
+    job.process_batch(batch_df, 0)
+    assert _sink_triples(job) == before
+
+
+def test_resume_after_sink_compaction(spark, tmp_path):
+    """Restart on a compacted sink: replay guard + state reload still work,
+    and later batches land correctly on top of folded history."""
+    from relation_graph_spark.materialize import materialize
+    from relation_graph_spark.sinks import IdempotentParquetSink
+
+    batches = _chain_batches(10)
+    stage = str(tmp_path / "stage")
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    _write_token_batches(spark, stage, batches)
+    files = sorted(os.listdir(stage))
+    for f in files[:8]:
+        shutil.copy2(os.path.join(stage, f), os.path.join(inp, f))
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    work = str(tmp_path / "work")
+
+    def _sink():
+        return IdempotentParquetSink(
+            spark, os.path.join(work, "sink"), compact_min_batches=4
+        )
+
+    job1 = IncrementalClosureJob(spark, inp, work, cfg, sink=_sink())
+    job1.run_available(max_files_per_trigger=1)
+    assert job1.sink._compaction()["runs"], "phase 1 should have compacted"
+    for f in files[8:]:
+        shutil.copy2(os.path.join(stage, f), os.path.join(inp, f))
+    job2 = IncrementalClosureJob(spark, inp, work, cfg, sink=_sink())
+    job2.run_available(max_files_per_trigger=1)
+    rows = [r for b in batches for r in b]
+    golden = {
+        (r.s, r.p, r.o)
+        for r in materialize(FX._rows_to_df(spark, rows, "c"), cfg).collect()
+    }
+    assert _sink_triples(job2) == golden
+    out = job2.result_edges()
+    assert out.count() == out.select("edge_hash").distinct().count()
+
+
+def test_state_gc_on_snapshot(spark, tmp_path):
+    """compact_every=3 forces periodic snapshots; superseded snap/delta dirs
+    are expired after the snapshot's batch commits."""
+    inp = str(tmp_path / "in")
+    _write_token_batches(spark, inp, _chain_batches(7))
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    job = IncrementalClosureJob(
+        spark, inp, str(tmp_path / "work"), cfg, compact_every=3
+    )
+    job.run_available(max_files_per_trigger=1)
+    sd = str(tmp_path / "work" / "closure_state")
+    snaps = sorted(d for d in os.listdir(sd) if d.startswith("snap-"))
+    deltas = sorted(d for d in os.listdir(sd) if d.startswith("delta-"))
+    # batches 0..6, snapshots at 0, 3, 6 (every 3rd persist): only the
+    # newest snapshot and deltas above it survive GC
+    assert snaps == ["snap-6"]
+    assert deltas == []
+
+
+def test_watermark_not_advanced_by_crashed_batch(spark, tmp_path):
+    """Crash between the stats phase and the sink commit must NOT advance
+    the watermark (it derives from the last COMMITTED manifest): on replay,
+    a row that was on time at the first attempt stays on time even when the
+    batch's event-time spread exceeds the horizon. The replayed run must
+    equal an uninterrupted control run."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1)
+
+    def _recs(rows_ts, src):
+        return [
+            {
+                "doc_id": f"w{j:08d}_{src}",
+                "tokens": [int(t) for t in toks],
+                "n_tok": len(toks),
+                "source": src,
+                "ts": ts,
+            }
+            for j, (toks, ts) in enumerate(rows_ts)
+        ]
+
+    b0 = _recs(
+        [([105, 11], t0), ([105, 12], t0 + timedelta(seconds=1)),
+         ([106, 21], t0 + timedelta(seconds=2)),
+         ([101, 12, 11], t0 + timedelta(seconds=3))],
+        "b0",
+    )
+    # spread 4990s >> horizon 60s: if the crashed attempt persisted its
+    # advanced watermark, the replay would drop the t0+10s row as late
+    b1 = _recs(
+        [([102, 11, 21, 12], t0 + timedelta(seconds=10)),
+         ([101, 13, 12], t0 + timedelta(seconds=5000))],
+        "b1",
+    )
+    for d in ("in", "in_ctrl"):
+        base = str(tmp_path / d)
+        os.makedirs(base)
+        write_seq_file(base, "p0.parquet", b0)
+        write_seq_file(base, "p1.parquet", b1)
+
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    job = IncrementalClosureJob(
+        spark, str(tmp_path / "in"), str(tmp_path / "work"), cfg,
+        watermark_horizon_seconds=60,
+    )
+    orig_append = job.sink.append
+    state = {"armed": True}
+
+    def crashing_append(df, batch_id, **kw):
+        if batch_id == 1 and state["armed"]:
+            state["armed"] = False
+            raise RuntimeError("injected crash between stats and commit")
+        return orig_append(df, batch_id, **kw)
+
+    job.sink.append = crashing_append
+    with pytest.raises(Exception, match="injected crash|Query .* terminated"):
+        job.run_available(max_files_per_trigger=1)
+    assert job.sink.committed_batches() == [0]
+
+    # restart: replayed batch 1 must judge lateness against batch 0's hwm
+    job2 = IncrementalClosureJob(
+        spark, str(tmp_path / "in"), str(tmp_path / "work"), cfg,
+        watermark_horizon_seconds=60,
+    )
+    job2.run_available(max_files_per_trigger=1)
+    assert [m.get("n_late_dropped", 0) for m in job2.metrics()] == [0, 0]
+
+    ctrl = IncrementalClosureJob(
+        spark, str(tmp_path / "in_ctrl"), str(tmp_path / "work_ctrl"), cfg,
+        watermark_horizon_seconds=60,
+    )
+    ctrl.run_available(max_files_per_trigger=1)
+    assert _sink_triples(job2) == _sink_triples(ctrl)
+    assert (11, 21, 12) in _sink_triples(job2)
+
+
+def _equiv_batches():
+    import __spark_entry__ as entry
+
+    return entry._EQUIV_STREAM_BATCHES
+
+
+def _equiv_golden(spark):
+    from relation_graph_spark.materialize import materialize
+
+    rows = [r for b in _equiv_batches() for r in b]
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    return {
+        (r.s, r.p, r.o)
+        for r in materialize(FX._rows_to_df(spark, rows, "b"), cfg).collect()
+    }
+
+
+def _write_equiv_input(tmp_path):
+    import __spark_entry__ as entry
+
+    inp = str(tmp_path / "in")
+    os.makedirs(inp)
+    entry._write_token_batches(inp, _equiv_batches(), "eq")
+    return inp
+
+
+def test_streaming_equivalence_feedback_delta_path(spark, tmp_path):
+    """AX_EQUIV_SOME stream (defs before AND after members) on the
+    delta-sized path: sink == one-shot batch, and feedback batches persist
+    DELTAS, not per-batch full snapshots (the pre-round-4 fallback)."""
+    inp = _write_equiv_input(tmp_path)
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    job = IncrementalClosureJob(spark, inp, str(tmp_path / "work"), cfg)
+    job.run_available(max_files_per_trigger=1)
+    assert _sink_triples(job) == _equiv_golden(spark)
+    # late-definition activation against committed history: E ⊑ G, F ⊑ G
+    assert {(15, T.SUBCLASSOF, 17), (16, T.SUBCLASSOF, 17)} <= _sink_triples(job)
+    sd = str(tmp_path / "work" / "closure_state")
+    snaps = sorted(d for d in os.listdir(sd) if d.startswith("snap-"))
+    deltas = sorted(d for d in os.listdir(sd) if d.startswith("delta-"))
+    assert snaps == ["snap-0"]
+    assert deltas == ["delta-1", "delta-2", "delta-3"]
+
+
+def test_streaming_equivalence_feedback_resume(spark, tmp_path):
+    """Kill/restart mid-stream with standing equivalence definitions: the
+    reloaded state (told + R4-derived sc facts) must finish identically."""
+    inp_stage = str(tmp_path / "stage")
+    inp = str(tmp_path / "in")
+    os.makedirs(inp_stage)
+    os.makedirs(inp)
+    import __spark_entry__ as entry
+
+    entry._write_token_batches(inp_stage, _equiv_batches(), "eq")
+    files = sorted(os.listdir(inp_stage))
+    # phase 1: first two batches only
+    for f in files[:2]:
+        shutil.copy2(os.path.join(inp_stage, f), os.path.join(inp, f))
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    work = str(tmp_path / "work")
+    job1 = IncrementalClosureJob(spark, inp, work, cfg)
+    job1.run_available(max_files_per_trigger=1)
+    assert len(job1.metrics()) == 2
+    # phase 2: fresh job object (simulated restart), remaining batches
+    for f in files[2:]:
+        shutil.copy2(os.path.join(inp_stage, f), os.path.join(inp, f))
+    job2 = IncrementalClosureJob(spark, inp, work, cfg)
+    job2.run_available(max_files_per_trigger=1)
+    assert _sink_triples(job2) == _equiv_golden(spark)
+
+
 def test_lineage_running_totals(spark, tmp_path):
     inp = str(tmp_path / "in")
     _write_batches(spark, inp, [(1, 7), (8, 10), (11, 12)])
