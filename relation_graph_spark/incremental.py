@@ -73,6 +73,27 @@ STATE_FRAMES = [
     "rel",  # accumulated R3 output
 ]
 
+# Derived closure frames persisted ALONGSIDE the told frames (dir name ->
+# in-memory state key), so a running job can re-point EVERY frame at the
+# on-disk store after each batch's persist (repoint_state). Re-pointing is
+# load-bearing beyond ~15 batches: chaining localCheckpointed Datasets
+# across batches carries each batch's Catalyst statistics forward
+# (LogicalRDD originStats), and join-stat PRODUCTS make the sizeInBytes
+# BigInt double its digit count per batch — planning time then grows
+# exponentially (measured: minutes per batch by batch ~20, all of it in
+# BigInteger.multiply under SizeInBytesOnlyStatsPlanVisitor). Parquet-backed
+# frames re-anchor statistics at real file sizes every batch — which is
+# also the honest cluster architecture: state lives in the bucketed store,
+# not in driver-chained Dataset lineage.
+DERIVED_FRAMES = {"sc_star": "_sc_star", "sp_star": "_sp_star"}
+
+# frames whose delta dir may OVERLAP earlier content (the tiny property
+# closure is rewritten in full when a property edge arrives) — deduped on
+# load; every other frame unions disjoint pieces
+DEDUP_ON_LOAD = {"sp_star"}
+
+PERSISTED_FRAMES = STATE_FRAMES + list(DERIVED_FRAMES)
+
 # The accumulated `rel` frame — the only state frame that grows with the
 # input stream rather than the vocabulary — is persisted HASH-BUCKETED by
 # pmod(xxhash64(s, p, o), REL_BUCKETS) (partitionBy("bucket") on write, the
@@ -356,14 +377,17 @@ def apply_delta(
             .localCheckpoint(eager=False)
         )
         n_sp_star = sp_star_new.count()
+        d_sp_star = sp_star_new  # full rewrite; store dedups on load
     elif props_changed:
         # only new property tokens: extend with their reflexive pairs
         d_sp_refl = reflexive(d_props, "p", "sub", "sup")
         sp_star_new = state["_sp_star"].unionByName(d_sp_refl).localCheckpoint(eager=False)
         n_sp_star = None
+        d_sp_star = d_sp_refl
     else:
         sp_star_new = state["_sp_star"]
         n_sp_star = None
+        d_sp_star = state["_sp_star"].where(F.lit(False))
 
     d_some = (
         delta_told["some"].dropDuplicates()
@@ -455,19 +479,25 @@ def apply_delta(
     def_new = state["def_some"].unionByName(d_def)
     d_sc_feedback = d_sc.where(F.lit(False))
     d_tc_all = d_tc
+    d_star_all = d_star
     n_star_total = n_d_star
     if not (state["def_some"].isEmpty() and d_def.isEmpty()):
         def_b = F.broadcast(def_new.dropDuplicates())
 
         def _fire(rel_rows: DataFrame, defs) -> DataFrame:
-            # x subClassOf F whenever x satisfies F's definition (p some y)
+            # x subClassOf F whenever x satisfies F's definition (p some y);
+            # int casts pin the token dtype so feedback-derived sc facts
+            # never widen the persisted sc/sc_tc frames
             return (
                 rel_rows.alias("r")
                 .join(
                     defs.alias("d"),
                     (F.col("r.p") == F.col("d.p")) & (F.col("r.o") == F.col("d.o")),
                 )
-                .select(F.col("r.s").alias("sub"), F.col("d.f").alias("sup"))
+                .select(
+                    F.col("r.s").cast("int").alias("sub"),
+                    F.col("d.f").cast("int").alias("sup"),
+                )
                 .where(F.col("sub") != F.col("sup"))
                 .dropDuplicates()
             )
@@ -503,6 +533,7 @@ def apply_delta(
             sc_star_new = sc_star_new.unionByName(d_star_r).localCheckpoint(
                 eager=False
             )
+            d_star_all = d_star_all.unionByName(d_star_r)
             rel_r = derive_relations(
                 sc_star_new, some_new, sp_star_new, thr, subject_star=d_star_r, **kw
             ).unionByName(
@@ -548,6 +579,8 @@ def apply_delta(
     if rel_paths:
         # stale until the caller persists this batch and re-points it
         new_state["_rel_paths"] = rel_paths
+    if "_frame_paths" in state:
+        new_state["_frame_paths"] = state["_frame_paths"]
     deltas = {
         # told delta + R4-derived feedback facts: the persisted sc frame must
         # reconstruct the same told-plus-derived set initial_state seeds
@@ -560,6 +593,10 @@ def apply_delta(
         "assertions": d_assertions,
         "sc_tc": d_tc_all,
         "rel": rel_delta,
+        # derived-frame deltas, persisted so repoint_state can re-anchor the
+        # carried-forward closures at the on-disk store each batch
+        "sc_star": d_star_all,
+        "sp_star": d_sp_star,
     }
     return new_state, deltas
 
@@ -894,36 +931,65 @@ def _pin_layout(root: str) -> None:
 
 def save_state_snapshot(
     state: dict[str, DataFrame], root: str, batch_id: int
-) -> list[str]:
-    """Persist all frames; rel is written hash-bucketed (see REL_BUCKETS).
-    Returns the rel path list for subsequent pruned history reads."""
+) -> dict[str, list[str]]:
+    """Persist all frames (told + derived closures); rel is written
+    hash-bucketed (see REL_BUCKETS). Returns {frame: [path]} for
+    repoint_state and subsequent pruned history reads."""
     _pin_layout(root)
-    for name in STATE_FRAMES:
+    paths: dict[str, list[str]] = {}
+    for name in PERSISTED_FRAMES:
+        key = DERIVED_FRAMES.get(name, name)
         path = os.path.join(root, f"snap-{batch_id}", name)
         if name == "rel":
             _write_rel_bucketed(state[name], path)
         else:
-            state[name].write.mode("overwrite").parquet(path)
-    return [os.path.join(root, f"snap-{batch_id}", "rel")]
+            state[key].write.mode("overwrite").parquet(path)
+        paths[name] = [path]
+    return paths
 
 
 def save_state_delta(
     deltas: dict[str, DataFrame], root: str, batch_id: int
-) -> str | None:
+) -> dict[str, str]:
     # empty deltas are skipped (a missing frame dir loads as empty) — most
-    # batches only grow 2-3 of the 9 frames, and every avoided write is one
+    # batches only grow a few of the frames, and every avoided write is one
     # fewer Spark job on the per-batch critical path
     _pin_layout(root)
-    rel_path = None
-    for name in STATE_FRAMES:
-        if not deltas[name].isEmpty():
+    written: dict[str, str] = {}
+    for name in PERSISTED_FRAMES:
+        if name in deltas and not deltas[name].isEmpty():
             path = os.path.join(root, f"delta-{batch_id}", name)
             if name == "rel":
                 _write_rel_bucketed(deltas[name], path)
-                rel_path = path
             else:
                 deltas[name].write.mode("overwrite").parquet(path)
-    return rel_path
+            written[name] = path
+    return written
+
+
+def repoint_state(
+    spark: SparkSession, state: dict[str, DataFrame], frame_paths: dict[str, list[str]]
+) -> None:
+    """Re-anchor every persisted frame at its on-disk pieces (snapshot +
+    later delta dirs). Called after each batch's persist: keeps per-batch
+    plans one level deep over parquet leaves with REAL file statistics —
+    see the DERIVED_FRAMES comment for why chaining in-memory Datasets
+    across batches is an exponential planning-time cliff. Scalar caches
+    (_n_*, _max_token) are carried in the dict untouched."""
+    state["_frame_paths"] = frame_paths
+    for name, paths in frame_paths.items():
+        key = DERIVED_FRAMES.get(name, name)
+        if name == "rel":
+            state["_rel_paths"] = paths
+            state[name] = read_rel(spark, paths)
+            continue
+        live = [p for p in paths if os.path.isdir(p)]
+        if not live:
+            continue  # legacy store without this frame: keep in-memory
+        df = spark.read.parquet(*live)
+        if name in DEDUP_ON_LOAD:
+            df = df.dropDuplicates()
+        state[key] = df
 
 
 def snapshot_batches(root: str) -> list[int]:
@@ -974,17 +1040,20 @@ def load_state(
     _pin_layout(root)
     base = max(snaps)
     deltas = [b for b in delta_batches(root) if b in committed_set and b > base]
-    state = {}
-    for name in STATE_FRAMES:
-        paths = [os.path.join(root, f"snap-{base}", name)] + [
+    state: dict[str, DataFrame] = {}
+    frame_paths: dict[str, list[str]] = {}
+    for name in PERSISTED_FRAMES:
+        paths = [
             p
-            for b in deltas
-            # absent delta dir == empty delta (save_state_delta skips them)
-            if os.path.isdir(p := os.path.join(root, f"delta-{b}", name))
+            for b in [base] + deltas
+            # absent dir == empty delta (save_state_delta skips them) or a
+            # legacy snapshot without the derived frames
+            if os.path.isdir(
+                p := os.path.join(
+                    root, f"{'snap' if b == base else 'delta'}-{b}", name
+                )
+            )
         ]
-        if name == "rel":
-            state["_rel_paths"] = paths
-            state[name] = read_rel(spark, paths)
-        else:
-            state[name] = spark.read.parquet(*paths)
+        frame_paths[name] = paths
+    repoint_state(spark, state, frame_paths)
     return state, max([base] + deltas)

@@ -59,7 +59,12 @@ _PACK_MASK = (1 << _PACK_BITS) - 1
 
 def _packed_distinct(df: DataFrame, c1: str, c2: str, c3: str) -> DataFrame:
     """distinct over three token columns via one packed int64 key. Caller
-    guarantees every value is in [0, 2^21). Exact bit ops (no FP)."""
+    guarantees every value is in [0, 2^21). Exact bit ops (no FP). Unpacked
+    columns are cast back to the INPUT dtypes: without this the packed path
+    silently widens int32 token columns to bigint while the unpacked path
+    keeps them — a per-batch type flip that in-memory unions coerce away
+    but multi-path parquet reads of the persisted state store reject."""
+    types = dict(df.dtypes)
     packed = df.select(
         (
             F.shiftleft(F.col(c1).cast("bigint"), 2 * _PACK_BITS)
@@ -68,9 +73,12 @@ def _packed_distinct(df: DataFrame, c1: str, c2: str, c3: str) -> DataFrame:
         ).alias("k")
     ).dropDuplicates()
     return packed.select(
-        F.shiftright(F.col("k"), 2 * _PACK_BITS).alias(c1),
-        F.shiftright(F.col("k"), _PACK_BITS).bitwiseAND(F.lit(_PACK_MASK)).alias(c2),
-        F.col("k").bitwiseAND(F.lit(_PACK_MASK)).alias(c3),
+        F.shiftright(F.col("k"), 2 * _PACK_BITS).cast(types[c1]).alias(c1),
+        F.shiftright(F.col("k"), _PACK_BITS)
+        .bitwiseAND(F.lit(_PACK_MASK))
+        .cast(types[c2])
+        .alias(c2),
+        F.col("k").bitwiseAND(F.lit(_PACK_MASK)).cast(types[c3]).alias(c3),
     )
 
 

@@ -110,10 +110,11 @@ class IncrementalClosureJob:
         return ms[-1].get("hwm_epoch") if ms else None
 
     def _ensure_state_loaded(self) -> None:
-        """Restart path: rebuild in-memory state from the newest committed
-        snapshot + later committed deltas. Vocabulary-sized frames are
-        localCheckpointed; `rel` stays disk-backed (bucketed parquet) so the
-        per-batch history anti-join can prune to delta-touched buckets."""
+        """Restart path: rebuild state from the newest committed snapshot +
+        later committed deltas. Every frame stays DISK-BACKED (parquet
+        reads with real statistics — see incremental.repoint_state); `rel`
+        additionally keeps its bucket layout so the per-batch history
+        anti-join can prune to delta-touched buckets."""
         if self._state is not None:
             return
         from relation_graph_spark.incremental import load_state, output_frames
@@ -122,10 +123,7 @@ class IncrementalClosureJob:
         if loaded is None:
             return
         state, batch_id = loaded
-        self._state = {
-            k: v if k in ("rel", "_rel_paths") else v.localCheckpoint()
-            for k, v in state.items()
-        }
+        self._state = state
         self._state_batch = batch_id
         self._prev_unsat = output_frames(self._state, self.cfg)["unsat"].localCheckpoint()
 
@@ -194,7 +192,7 @@ class IncrementalClosureJob:
             assemble_from_state,
             initial_state,
             output_frames,
-            read_rel,
+            repoint_state,
             save_state_delta,
             save_state_snapshot,
         )
@@ -227,20 +225,24 @@ class IncrementalClosureJob:
             deltas is None or self._deltas_since_snapshot + 1 >= self.compact_every
         )
         if wrote_snapshot:
-            rel_paths = save_state_snapshot(state, self.state_dir, int(batch_id))
+            frame_paths = save_state_snapshot(state, self.state_dir, int(batch_id))
             self._deltas_since_snapshot = 0
         else:
-            d_rel_path = save_state_delta(deltas, self.state_dir, int(batch_id))
+            written = save_state_delta(deltas, self.state_dir, int(batch_id))
             self._deltas_since_snapshot += 1
-            rel_paths = list(state.get("_rel_paths") or [])
-            if d_rel_path is not None:
-                rel_paths.append(d_rel_path)
-        # re-point rel at the bucket-partitioned on-disk layout: the next
-        # batch's history anti-join prunes its parquet scan to the buckets
-        # its delta touches
-        state["_rel_paths"] = rel_paths
-        if rel_paths:
-            state["rel"] = read_rel(self.spark, rel_paths)
+            prev_paths: dict = dict(state.get("_frame_paths") or {})
+            frame_paths = {
+                name: list(prev_paths.get(name, []))
+                + ([written[name]] if name in written else [])
+                for name in set(prev_paths) | set(written)
+            }
+        # re-point EVERY state frame at the on-disk store: the next batch's
+        # history anti-join prunes its parquet scan to delta-touched
+        # buckets, and per-batch plans stay one level deep over parquet
+        # leaves with real statistics (see incremental.repoint_state — the
+        # alternative, chaining checkpointed Datasets across batches, is an
+        # exponential planning-time cliff past ~15 batches)
+        repoint_state(self.spark, state, frame_paths)
         _mark("persist_state")
 
         if deltas_for_emit is not None and self._prev_unsat is not None:
