@@ -110,10 +110,21 @@ def run_level(cpus: int, n_classes: int, n_props: int, n_some: int, repeats: int
         if os.path.exists("/usr/bin/taskset") and cpus < os.cpu_count():
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            # worker died (e.g. the known lazy-localCheckpoint block-cleaner
+            # race under memory pressure) — skip this attempt, keep the rest
+            sys.stderr.write(
+                f"worker cpus={cpus} attempt failed:\n"
+                + "\n".join(out.stderr.strip().splitlines()[-5:])
+                + "\n"
+            )
+            continue
+        r = json.loads(lines[-1])
         if best is None or r["sec"] < best["sec"]:
             best = r
+    if best is None:
+        raise RuntimeError(f"all {repeats} worker runs failed at cpus={cpus}")
     return best
 
 
@@ -186,8 +197,11 @@ Reference anchors (reference repo publishes no numbers — BASELINE.md):
 - apo-scale fixture (~619 classes) completes the full materialization well
   inside the reference's 10 s CI budget (see tests/test_materialize.py).
 """
+    # BENCH/BASELINE.md accumulates hand-written evidence sections beyond
+    # this template — never clobber it; write the fresh campaign to a
+    # sibling file and splice manually.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", "SCALING_LATEST.md"), "w") as fh:
         fh.write(md)
 
 

@@ -953,11 +953,23 @@ def save_state_delta(
 ) -> dict[str, str]:
     # empty deltas are skipped (a missing frame dir loads as empty) — most
     # batches only grow a few of the frames, and every avoided write is one
-    # fewer Spark job on the per-batch critical path
+    # fewer Spark job on the per-batch critical path. The emptiness probe
+    # itself is ONE unioned count job over all frames, not one isEmpty job
+    # per frame (11 driver round-trips -> 1).
     _pin_layout(root)
+    present = [n for n in PERSISTED_FRAMES if n in deltas]
+    counts_df = None
+    for name in present:
+        part = (
+            deltas[name]
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("f"), F.col("n"))
+        )
+        counts_df = part if counts_df is None else counts_df.unionByName(part)
+    nonempty = {r["f"] for r in counts_df.collect() if r["n"] > 0}
     written: dict[str, str] = {}
-    for name in PERSISTED_FRAMES:
-        if name in deltas and not deltas[name].isEmpty():
+    for name in present:
+        if name in nonempty:
             path = os.path.join(root, f"delta-{batch_id}", name)
             if name == "rel":
                 _write_rel_bucketed(deltas[name], path)
