@@ -87,6 +87,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.choices["stream"]
     sp.add_argument("--watermark-seconds", type=int, default=3600)
     sp.add_argument("--max-files-per-trigger", type=int, default=1)
+    # out-of-band sink maintenance (size-tiered merges off the stream's
+    # critical path — the analog of scheduling Iceberg rewrite_data_files /
+    # expire_snapshots from a maintenance job, iceberg_sink.maintenance_sql)
+    mp = sub.add_parser("maintain")
+    mp.add_argument("--sink", required=True, help="sink root dir")
+    mp.add_argument("--rounds", type=int, default=1,
+                    help="number of maintenance passes (0 = run forever)")
+    mp.add_argument("--interval-seconds", type=float, default=30.0,
+                    help="sleep between passes")
+    mp.add_argument("--master", default=None)
+    mp.add_argument("--shuffle-partitions", type=int, default=None)
+    mp.add_argument("--verbose", type=_parse_bool, default=False,
+                    metavar="true|false")
     return ap
 
 
@@ -178,6 +191,26 @@ def main(argv: list[str] | None = None) -> int:
         f"rgs-{args.cmd}", master=args.master, shuffle_partitions=args.shuffle_partitions
     )
     spark.sparkContext.setLogLevel("INFO" if args.verbose else "ERROR")
+
+    if args.cmd == "maintain":
+        import time
+
+        from relation_graph_spark.sinks import IdempotentParquetSink
+
+        # n_buckets=None adopts the sink's pinned bucket layout
+        sink = IdempotentParquetSink(spark, args.sink, n_buckets=None)
+        rnd = 0
+        while True:
+            actions = sink.compact()
+            print(f"maintain pass {rnd}: {actions or ['noop']}")
+            rnd += 1
+            if args.rounds and rnd >= args.rounds:
+                break
+            time.sleep(args.interval_seconds)
+        if not preexisting:
+            spark.stop()
+        return 0
+
     cfg = config_from_args(args, spark=spark)
 
     if args.cmd == "batch":

@@ -104,9 +104,12 @@ class IcebergEdgeSink:
 
     # --------------------------------------------------------- commit log
     def _snapshot_summaries(self) -> list[dict]:
-        rows = self.spark.sql(
-            f"SELECT summary FROM {self.table}.snapshots ORDER BY committed_at"
-        ).collect()
+        try:
+            rows = self.spark.sql(
+                f"SELECT summary FROM {self.table}.snapshots ORDER BY committed_at"
+            ).collect()
+        except Exception:
+            return []  # table not created yet: no snapshots, nothing committed
         return [dict(r.summary) for r in rows]
 
     def committed_batches(self) -> list[int]:

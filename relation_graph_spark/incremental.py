@@ -958,6 +958,8 @@ def save_state_delta(
     # per frame (11 driver round-trips -> 1).
     _pin_layout(root)
     present = [n for n in PERSISTED_FRAMES if n in deltas]
+    if not present:
+        return {}  # nothing persistable: skip the count job entirely
     counts_df = None
     for name in present:
         part = (

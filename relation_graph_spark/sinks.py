@@ -53,6 +53,34 @@ The run list is published by atomically renaming `compacted.json`; a crash
 mid-compaction leaves either the old marker (orphan gen dir, overwritten by
 the next attempt) or the new one (stale retired dirs, swept on the next
 call) — readers always see a consistent generation set.
+
+Scheduling (round-4 VERDICT item 1): size-tiered MERGES rewrite up to
+O(total committed sink) bytes, so they must NOT run inline in a stream's
+per-batch critical path. The entry points split the policy:
+
+- ``maybe_compact()`` (called by the pipeline each batch) runs only the
+  bounded MINOR fold — cost capped by ``compact_min_batches`` batch deltas;
+- ``compact()`` is the out-of-band maintenance entry point (CLI subcommand
+  ``maintain`` / a second process) that additionally runs the size-tiered
+  merge loop — the offline analog of Iceberg's ``rewrite_data_files`` /
+  ``expire_snapshots`` maintenance procedures, which production likewise
+  schedules outside the stream.
+
+Concurrency protocol (stream + out-of-band compactor on one sink root):
+
+- ONE compactor at a time: every entry point takes ``compaction.lock``
+  (atomic O_EXCL create, pid-stamped, dead-holder stealable). The inline
+  call skips its fold when the lock is held (pending batches just wait one
+  more cycle); the out-of-band call waits briefly. Same-host liveness
+  checks only — a shared-filesystem deploy swaps this file for the
+  catalog's optimistic snapshot commit (see iceberg_sink).
+- Readers are lock-free: they see either the old marker or the new one
+  (atomic rename). Because reads are LAZY (a plan may evaluate well after
+  the marker was loaded), retired dirs are NOT deleted at publish time:
+  each entry point sweeps the garbage of *previous* publishes before doing
+  new work, so any plan built from the prior marker has at least one full
+  compaction cycle to evaluate before its files disappear — the same grace
+  contract as Iceberg's ``expire_snapshots(older_than => ...)``.
 """
 
 from __future__ import annotations
@@ -61,6 +89,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 from typing import Protocol
 
 import pyspark.sql.functions as F
@@ -127,7 +156,7 @@ class IdempotentParquetSink:
         self,
         spark: SparkSession,
         root: str,
-        n_buckets: int = 32,
+        n_buckets: int | None = 32,
         compact_min_batches: int | None = None,
         merge_ratio: float = 1.0,
     ):
@@ -151,12 +180,15 @@ class IdempotentParquetSink:
         if os.path.exists(layout):
             with open(layout) as fh:
                 pinned = json.load(fh)["n_buckets"]
-            if pinned != n_buckets:
+            if n_buckets is not None and pinned != n_buckets:
                 raise RuntimeError(
                     f"sink at {root} was written with n_buckets={pinned}; "
                     f"got n_buckets={n_buckets} — reopen with the pinned value"
                 )
+            n_buckets = pinned  # n_buckets=None adopts the pinned layout
         else:
+            if n_buckets is None:
+                n_buckets = 32
             with open(layout, "w") as fh:
                 json.dump({"n_buckets": n_buckets}, fh)
         self.n_buckets = n_buckets
@@ -213,9 +245,14 @@ class IdempotentParquetSink:
         running totals carried from the newest folded manifest)."""
         out = []
         s = self._manifest_summary()
+        folded_ids = set(s["batch_ids"]) if s else set()
         if s:
             out.append(s["agg"])
         for b in self._individual_manifest_ids():
+            if b in folded_ids:
+                # covered by the summary; the file only survives a crash
+                # between fold-publish and sweep — don't report it twice
+                continue
             with open(os.path.join(self.manifest_dir, f"{b}.json")) as fh:
                 out.append(json.load(fh))
         return out
@@ -313,8 +350,15 @@ class IdempotentParquetSink:
         else overwrite data (and tombstone) dirs, then atomically publish the
         manifest."""
         if self.is_committed(batch_id):
-            with open(os.path.join(self.manifest_dir, f"{batch_id}.json")) as fh:
-                return json.load(fh)
+            mpath = os.path.join(self.manifest_dir, f"{batch_id}.json")
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    return json.load(fh)
+            # the per-batch manifest was folded into the summary by a major
+            # merge: the batch is still committed (replay must skip), but
+            # its individual metrics are gone — return the summary agg
+            s = self._manifest_summary()
+            return s["agg"] if s else {"batch_id": batch_id}
         path = os.path.join(self.data_dir, f"batch={batch_id}")
         df.withColumn("bucket", self._bucket_col()).write.mode(
             "overwrite"
@@ -440,9 +484,10 @@ class IdempotentParquetSink:
                     os.remove(os.path.join(self.manifest_dir, f"{b}.json"))
 
     def _write_run(self, df: DataFrame, gen: int) -> None:
-        df.select("s", "p", "o", "edge", "edge_hash", "bucket").write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(
+        # schema-agnostic: keep whatever columns the batches carry (only
+        # edge_hash + the bucket layout column are required by the protocol)
+        cols = [c for c in df.columns if c != "bucket"] + ["bucket"]
+        df.select(*cols).write.mode("overwrite").partitionBy("bucket").parquet(
             os.path.join(self.compacted_dir, f"gen={gen}")
         )
 
@@ -467,8 +512,10 @@ class IdempotentParquetSink:
             "next_gen": gen + 1,
             "runs": marker["runs"] + [{"gen": gen, "base": max(pending)}],
         }
+        # no sweep here: the retired batch dirs stay on disk until the NEXT
+        # compaction entry call, so concurrent readers holding plans built
+        # from the previous marker keep resolvable files (grace period)
         self._publish_compaction(marker)
-        self._sweep_stale()
         return marker
 
     def _merge_newest_runs(self, marker: dict) -> dict:
@@ -515,8 +562,9 @@ class IdempotentParquetSink:
             "runs": marker["runs"][:-2] + [{"gen": gen, "base": b["base"]}],
             "tombstones_folded_through": tomb_through,
         }
+        # retired gen dirs / applied tombstone dirs / folded manifests are
+        # swept on the next entry call, not here (reader grace period)
         self._publish_compaction(marker)
-        self._sweep_stale()
         return marker
 
     def _fold_manifests(self, through: int) -> None:
@@ -529,7 +577,10 @@ class IdempotentParquetSink:
         agg = dict(prev["agg"]) if prev else {}
         folded = []
         for bid in self._individual_manifest_ids():
-            if bid <= through:
+            # bids already in the prior summary only have files on disk after
+            # a crash between fold-publish and sweep; re-summing them would
+            # permanently inflate the running totals
+            if bid <= through and bid not in ids:
                 with open(os.path.join(self.manifest_dir, f"{bid}.json")) as fh:
                     folded.append(json.load(fh))
                 ids.add(bid)
@@ -558,27 +609,112 @@ class IdempotentParquetSink:
             json.dump(summary, fh)
         os.rename(tmp, os.path.join(self.manifest_dir, "compacted.json"))
 
-    def maybe_compact(self) -> list[str]:
+    # -- compactor lock -----------------------------------------------------
+    LOCK_STALE_SECONDS = 3600.0
+
+    def _lock_path(self) -> str:
+        return os.path.join(self.root, "compaction.lock")
+
+    def _acquire_lock(self, wait: float = 0.0) -> bool:
+        """Single-compactor mutual exclusion: atomic O_EXCL create of a
+        pid-stamped lock file. A lock whose holder process is gone (or that
+        outlived LOCK_STALE_SECONDS) is stolen. Same-host pid liveness only —
+        a shared-filesystem deploy replaces this with the catalog's
+        optimistic snapshot commit (IcebergEdgeSink)."""
+        deadline = time.monotonic() + wait
+        while True:
+            try:
+                fd = os.open(self._lock_path(), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as fh:
+                    json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
+                return True
+            except FileExistsError:
+                pid, ts = -1, 0.0
+                try:
+                    with open(self._lock_path()) as fh:
+                        info = json.load(fh)
+                    pid, ts = int(info.get("pid", -1)), float(info.get("ts", 0.0))
+                except (OSError, ValueError):
+                    pass
+                dead = False
+                if pid > 0:
+                    try:
+                        os.kill(pid, 0)
+                    except ProcessLookupError:
+                        dead = True
+                    except PermissionError:
+                        pass
+                if dead or (ts and time.time() - ts > self.LOCK_STALE_SECONDS):
+                    try:
+                        os.remove(self._lock_path())
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() >= deadline:
+                    return False
+                time.sleep(0.05)
+
+    def _release_lock(self) -> None:
+        try:
+            os.remove(self._lock_path())
+        except FileNotFoundError:
+            pass
+
+    # -- policy entry points ------------------------------------------------
+    def maybe_compact(self, major: bool = False, lock_wait: float = 0.0) -> list[str]:
         """Run the compaction policy (see module doc); cheap no-op when
-        nothing crossed a threshold. Returns the actions taken."""
-        actions = []
-        marker = self._compaction()
-        pending = [b for b in self.committed_batches() if b > self._last_base(marker)]
-        if len(pending) >= self.compact_min_batches:
-            marker = self._fold_pending(marker, pending)
-            actions.append(f"minor:{len(pending)}")
-        while len(marker["runs"]) >= 2:
-            nb = self._dir_bytes(
-                os.path.join(self.compacted_dir, f"gen={marker['runs'][-1]['gen']}")
-            )
-            pb = self._dir_bytes(
-                os.path.join(self.compacted_dir, f"gen={marker['runs'][-2]['gen']}")
-            )
-            if nb < self.merge_ratio * pb:
-                break
-            marker = self._merge_newest_runs(marker)
-            actions.append("merge")
-        return actions
+        nothing crossed a threshold. Returns the actions taken.
+
+        Default (``major=False``) is the INLINE tier: only the bounded minor
+        fold, whose cost is capped by ``compact_min_batches`` batch deltas —
+        safe on a stream's per-batch critical path. Size-tiered merges
+        (up to O(total sink) bytes rewritten) run only with ``major=True``,
+        i.e. from the out-of-band ``compact()`` maintenance entry point.
+
+        If another compactor holds the lock the call returns without doing
+        work (pending batches just wait one more cycle)."""
+        if not self._acquire_lock(wait=lock_wait):
+            return ["skipped:lock-held"]
+        try:
+            # sweep the garbage of PREVIOUS publishes first: those
+            # retirements are at least one compaction cycle old, so any
+            # reader plan built from the prior marker has had its grace
+            self._sweep_stale()
+            actions: list[str] = []
+            marker = self._compaction()
+            pending = [
+                b for b in self.committed_batches() if b > self._last_base(marker)
+            ]
+            if len(pending) >= self.compact_min_batches:
+                marker = self._fold_pending(marker, pending)
+                actions.append(f"minor:{len(pending)}")
+            if major:
+                while len(marker["runs"]) >= 2:
+                    nb = self._dir_bytes(
+                        os.path.join(
+                            self.compacted_dir, f"gen={marker['runs'][-1]['gen']}"
+                        )
+                    )
+                    pb = self._dir_bytes(
+                        os.path.join(
+                            self.compacted_dir, f"gen={marker['runs'][-2]['gen']}"
+                        )
+                    )
+                    if nb < self.merge_ratio * pb:
+                        break
+                    marker = self._merge_newest_runs(marker)
+                    actions.append("merge")
+            return actions
+        finally:
+            self._release_lock()
+
+    def compact(self, lock_wait: float = 30.0) -> list[str]:
+        """Out-of-band maintenance entry point (CLI subcommand ``maintain``):
+        minor fold + the full size-tiered merge loop. Run this from a
+        separate process on a schedule — NOT inside the stream — exactly as
+        Iceberg's rewrite_data_files / expire_snapshots procedures are run
+        (iceberg_sink.maintenance_sql is the cluster-scale analog)."""
+        return self.maybe_compact(major=True, lock_wait=lock_wait)
 
 
 class InMemoryEdgeSink:

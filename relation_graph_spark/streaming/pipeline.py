@@ -32,10 +32,14 @@ through foreachBatch:
      expired after the covering snapshot's batch commits;
   6. metrics: running lineage totals (per-source told rows) and closure edge
      counts carried forward manifest-to-manifest — no told-history rescans;
-  7. sink maintenance: the sink's LSM-style compaction policy folds
-     committed batch dirs into size-tiered runs and bounds manifest-list
-     growth (sinks module doc), keeping read-side union width and file
-     listings bounded over 10k+ micro-batch streams.
+  7. sink maintenance: the sink's INLINE compaction tier (bounded minor
+     folds) keeps un-folded batch-dir count capped per batch; size-tiered
+     merges — which rewrite up to O(total sink) bytes — run OUT-OF-BAND via
+     `sink.compact()` / the `maintain` CLI subcommand from a separate
+     process (lock-file mutual exclusion + one-cycle sweep grace make this
+     safe against the running stream; sinks module doc), keeping read-side
+     union width and file listings bounded over 10k+ micro-batch streams
+     without ever stalling a micro-batch on a history-sized rewrite.
 
 Correctness invariant (tested, including the retraction cases): after any
 prefix of micro-batches — including a kill/restart between batches — the
@@ -302,9 +306,11 @@ class IncrementalClosureJob:
 
         _mark("sink_append")
         # post-commit maintenance: expire state dirs superseded by a
-        # now-committed snapshot; run the sink's compaction policy (minor
-        # fold / size-tiered merge — see sinks module doc). Both are
-        # idempotent and crash-safe (replays just redo them).
+        # now-committed snapshot; run the sink's INLINE compaction tier
+        # (bounded minor fold only — size-tiered merges rewrite up to
+        # O(total sink) bytes and run out-of-band via sink.compact() /
+        # the `maintain` CLI subcommand, never on this critical path).
+        # Both are idempotent and crash-safe (replays just redo them).
         if wrote_snapshot:
             from relation_graph_spark.incremental import gc_state
 
