@@ -301,6 +301,72 @@ def q_win_session_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_closure(edges, "30 minutes", key_col="user_id")
 
 
+def _session_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forest edges for the session queries (user_id cast to string so the
+    streaming job's fixed source schema applies)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("ts"),
+        (F.col("event_id") % 300 + 100).cast("bigint").alias("child"),
+        (F.expr("(event_id % 300) div 5") + 100).cast("bigint").alias("parent"),
+    ).where(F.col("child") != F.col("parent"))
+
+
+def q_win_session_finalize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deployment of the per-session closure (SURVEY.md 7.2(d)
+    streaming form): the events-derived edges split into 3 time-ordered
+    micro-batches through SessionClosureStreamJob — a session finalizes
+    (and its closure is emitted, exactly once) only when the watermark
+    strictly passes last_ts + gap. The emitted union equals the batch
+    session_closure recompute restricted to sessions whose last_ts + gap
+    lies below the stream's final watermark (the oracle mirrors that
+    finalization filter); still-open sessions emit nothing."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from relation_graph_spark.streaming.session_pipeline import (
+        SessionClosureStreamJob,
+    )
+
+    pdf = (
+        _session_edges(spark, sf_dir)
+        .orderBy("ts", "user_id", "child", "parent")
+        .toPandas()
+    )
+    work = tempfile.mkdtemp(prefix="rgs_sess_stream_")
+    inp = os.path.join(work, "in")
+    os.makedirs(inp)
+    schema = pa.schema(
+        [
+            ("user_id", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("child", pa.int64()),
+            ("parent", pa.int64()),
+        ]
+    )
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = os.path.join(inp, f"b{i}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf.iloc[cuts[i] : cuts[i + 1]], schema=schema, preserve_index=False
+            ),
+            path,
+        )
+        t = 1_900_000_000 + i * 10  # deterministic micro-batch order
+        os.utime(path, (t, t))
+    job = SessionClosureStreamJob(
+        spark, inp, os.path.join(work, "w"), gap="30 minutes", delay_seconds=0
+    )
+    job.run_available(max_files_per_trigger=1)
+    return job.result()
+
+
 # --------------------------------------------------------------------------
 # aggregation / join-plan block (Catalyst quality checks)
 # --------------------------------------------------------------------------
@@ -739,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_sliding": q_win_sliding,
         "win_session_user": q_win_session_user,
         "win_session_closure": q_win_session_closure,
+        "win_session_finalize_stream": q_win_session_finalize_stream,
         "agg_pricing_summary": q_agg_pricing_summary,
         "agg_region_revenue": q_agg_region_revenue,
         "agg_top_orders_per_segment": q_agg_top_orders_per_segment,
@@ -1200,6 +1267,56 @@ def oracle_sql() -> dict[str, str]:
           FROM tc JOIN s ON tc.parent = s.child
                         AND tc.user_id = s.user_id
                         AND tc.sess_start = s.sess_start
+        )
+        SELECT user_id, sess_start, child, parent FROM tc
+    """
+
+    # streaming finalization variant: same gaps-and-islands assignment +
+    # closure, restricted to sessions the watermark FINALIZED by stream end
+    # (last_ts + gap strictly below the final watermark = global max ts of
+    # the edge rows; delay=0). Open sessions emit nothing.
+    q["win_session_finalize_stream"] = """
+        WITH RECURSIVE e AS (
+          SELECT CAST(user_id AS VARCHAR) AS user_id, ts,
+                 CAST(event_id % 300 + 100 AS BIGINT) AS child,
+                 CAST((event_id % 300) // 5 + 100 AS BIGINT) AS parent
+          FROM events
+          WHERE event_id % 300 + 100 <> (event_id % 300) // 5 + 100
+        ),
+        d AS (
+          SELECT user_id, ts, child, parent,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, child, parent)
+        ),
+        i AS (
+          SELECT user_id, ts, child, parent,
+                 SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, child, parent
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS island
+          FROM d
+        ),
+        s AS (
+          SELECT DISTINCT user_id,
+                 MIN(ts) OVER (PARTITION BY user_id, island) AS sess_start,
+                 MAX(ts) OVER (PARTITION BY user_id, island) AS sess_last,
+                 child, parent
+          FROM i
+        ),
+        f AS (
+          SELECT user_id, sess_start, child, parent FROM s
+          WHERE sess_last + INTERVAL 30 MINUTES < (SELECT MAX(ts) FROM e)
+        ),
+        tc(user_id, sess_start, child, parent) AS (
+          SELECT user_id, sess_start, child, parent FROM f
+          UNION
+          SELECT tc.user_id, tc.sess_start, tc.child, f.parent
+          FROM tc JOIN f ON tc.parent = f.child
+                        AND tc.user_id = f.user_id
+                        AND tc.sess_start = f.sess_start
         )
         SELECT user_id, sess_start, child, parent FROM tc
     """

@@ -1,0 +1,183 @@
+"""Watermark-gated streaming session finalization (round-4 VERDICT item 2):
+emit-once per-session closure, late-row session merge before the watermark
+passes, too-late drop accounting, checkpoint resume."""
+
+import glob
+import os
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+
+from relation_graph_spark.streaming.session_pipeline import SessionClosureStreamJob
+
+T0 = datetime(2026, 1, 1)
+
+_file_counter = [0]
+
+
+def write_session_file(base_dir, name, rows):
+    """One plain parquet file per intended micro-batch, strictly increasing
+    mtimes (same discipline as test_streaming.write_seq_file).
+    rows: list of (user_id, minutes_after_t0, child, parent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.string()),
+            ("ts", pa.timestamp("us")),
+            ("child", pa.int64()),
+            ("parent", pa.int64()),
+        ]
+    )
+    recs = [
+        {
+            "user_id": u,
+            "ts": T0 + timedelta(minutes=m),
+            "child": c,
+            "parent": p,
+        }
+        for (u, m, c, p) in rows
+    ]
+    os.makedirs(base_dir, exist_ok=True)
+    path = os.path.join(base_dir, name)
+    pq.write_table(pa.Table.from_pylist(recs, schema=schema), path)
+    _file_counter[0] += 1
+    t = 1_800_000_000 + _file_counter[0] * 10
+    os.utime(path, (t, t))
+    return path
+
+
+def _result_set(job):
+    out = job.result()
+    if out is None:
+        return set()
+    return {
+        (r.user_id, r.sess_start, r.child, r.parent)
+        for r in out.collect()
+    }
+
+
+def _batch_oracle(spark, rows, finalized_keys=None):
+    """windows.session_closure batch recompute over `rows`, optionally
+    restricted to sessions of the given user set."""
+    from relation_graph_spark.streaming.windows import session_closure
+
+    df = spark.createDataFrame(
+        [(u, T0 + timedelta(minutes=m), c, p) for (u, m, c, p) in rows],
+        "user_id: string, ts: timestamp, child: bigint, parent: bigint",
+    )
+    out = session_closure(df, "30 minutes", key_col="user_id")
+    if finalized_keys is not None:
+        out = out.where(F.col("user_id").isin(list(finalized_keys)))
+    return {(r.user_id, r.sess_start, r.child, r.parent) for r in out.collect()}
+
+
+def test_session_finalization_equals_batch(spark, tmp_path):
+    """Sessions finalize only once the watermark strictly passes
+    last_ts + gap; emitted per-session closures equal the batch recompute
+    restricted to finalized sessions; open sessions emit nothing."""
+    inp = str(tmp_path / "in")
+    b0 = [("u1", 0, 1, 2), ("u1", 5, 2, 3), ("u2", 0, 7, 8)]
+    b1 = [("u9", 120, 9, 10)]  # advances watermark to t0+2h
+    write_session_file(inp, "b0.parquet", b0)
+    write_session_file(inp, "b1.parquet", b1)
+    job = SessionClosureStreamJob(
+        spark, inp, str(tmp_path / "work"), gap="30 minutes", delay_seconds=0
+    )
+    job.run_available(max_files_per_trigger=1)
+
+    # u1 closure includes the transitive 1->3; u9's session is still open
+    assert _result_set(job) == _batch_oracle(
+        spark, b0 + b1, finalized_keys={"u1", "u2"}
+    )
+    ms = job.metrics()
+    assert sum(m["n_sessions_finalized"] for m in ms) == 2
+    assert ms[-1]["n_sessions_finalized_total"] == 2
+
+    # emit-once: re-running with no new input adds no manifests
+    n_manifests = len(ms)
+    job2 = SessionClosureStreamJob(
+        spark, inp, str(tmp_path / "work"), gap="30 minutes", delay_seconds=0
+    )
+    job2.run_available(max_files_per_trigger=1)
+    assert len(job2.metrics()) == n_manifests
+    assert _result_set(job2) == _result_set(job)
+
+
+def test_late_row_merges_open_sessions_before_watermark(spark, tmp_path):
+    """A late-but-within-watermark row bridging two open sessions of a key
+    MERGES them (native session_window semantics); the merged session
+    finalizes once and its closure spans the old boundary — equal to the
+    batch recompute."""
+    inp = str(tmp_path / "in")
+    # delay 1h keeps both of u1's sessions open through batch 0
+    b0 = [("u1", 0, 1, 2), ("u1", 50, 3, 4)]
+    b1 = [("u1", 25, 2, 3), ("u9", 300, 90, 91)]  # bridge + watermark flush
+    write_session_file(inp, "b0.parquet", b0)
+    write_session_file(inp, "b1.parquet", b1)
+    job = SessionClosureStreamJob(
+        spark, inp, str(tmp_path / "work"), gap="30 minutes", delay_seconds=3600
+    )
+    job.run_available(max_files_per_trigger=1)
+
+    got = _result_set(job)
+    assert got == _batch_oracle(spark, b0 + b1, finalized_keys={"u1"})
+    # ONE merged session (sess_start = t0), containing the cross-boundary
+    # transitive path 1 -> 4
+    u1 = {x for x in got if x[0] == "u1"}
+    assert {x[1] for x in u1} == {T0}
+    assert ("u1", T0, 1, 4) in u1
+    assert sum(m["n_sessions_finalized"] for m in job.metrics()) == 1
+
+
+def test_too_late_row_dropped_and_counted(spark, tmp_path):
+    """A row below the watermark is dropped and counted; it cannot re-open
+    a session that already finalized (emit-once stays intact)."""
+    inp = str(tmp_path / "in")
+    b0 = [("u1", 0, 1, 2), ("u9", 300, 90, 91)]  # flush: wm = t0+4h
+    b1 = [("u1", 10, 2, 3)]  # ts far below wm -> dropped
+    write_session_file(inp, "b0.parquet", b0)
+    write_session_file(inp, "b1.parquet", b1)
+    job = SessionClosureStreamJob(
+        spark, inp, str(tmp_path / "work"), gap="30 minutes", delay_seconds=3600
+    )
+    job.run_available(max_files_per_trigger=1)
+
+    got = _result_set(job)
+    assert {x for x in got if x[0] == "u1"} == {("u1", T0, 1, 2)}
+    ms = job.metrics()
+    assert sum(m["n_late_dropped"] for m in ms) == 1
+    assert sum(m["n_sessions_finalized"] for m in ms) == 1
+
+
+def test_session_resume_from_checkpoint(spark, tmp_path):
+    """Open-session state survives a restart: rows arriving after resume
+    merge into sessions opened before it; final output equals the batch
+    recompute; open state is persisted per committed batch and GC'd."""
+    inp = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    b0 = [("u1", 0, 1, 2)]
+    write_session_file(inp, "b0.parquet", b0)
+    job1 = SessionClosureStreamJob(
+        spark, inp, work, gap="30 minutes", delay_seconds=0
+    )
+    job1.run_available(max_files_per_trigger=1)
+    assert _result_set(job1) == set()  # nothing finalized yet
+
+    b1 = [("u1", 20, 2, 3)]  # extends the open session across the restart
+    b2 = [("u9", 240, 90, 91)]  # flush
+    write_session_file(inp, "b1.parquet", b1)
+    write_session_file(inp, "b2.parquet", b2)
+    job2 = SessionClosureStreamJob(
+        spark, inp, work, gap="30 minutes", delay_seconds=0
+    )
+    job2.run_available(max_files_per_trigger=1)
+    assert _result_set(job2) == _batch_oracle(
+        spark, b0 + b1 + b2, finalized_keys={"u1"}
+    )
+    # one emitted manifest per batch, session emitted in exactly one batch
+    assert sum(m["n_sessions_finalized"] for m in job2.metrics()) == 1
+    # superseded open-state snapshots are GC'd
+    snaps = glob.glob(os.path.join(work, "open_state", "snap-*"))
+    assert len(snaps) == 1
