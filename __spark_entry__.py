@@ -773,6 +773,19 @@ def q_mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media, dim=8, fmt="ppm")
 
 
+def q_mm_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second registered decoder (grayscale binary PGM / P5): the registry
+    seam generalizes beyond one format — same Arrow-batched feature path,
+    one byte per pixel instead of three."""
+    from relation_graph_spark.ops.multimodal import (
+        decode_image_features,
+        synthesize_pgm,
+    )
+
+    media = synthesize_pgm(_t(spark, sf_dir, "documents"), width=5, height=3)
+    return decode_image_features(media, dim=8, fmt="pgm")
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: evenly-spaced byte offsets + sampled byte per
     media payload, pure column expressions."""
@@ -826,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_features": q_mm_decode_features,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_ppm_decode": q_mm_ppm_decode,
+        "mm_pgm_decode": q_mm_pgm_decode,
         "rg_incremental_stream": q_rg_incremental_stream,
         "rg_incremental_individuals": q_rg_incremental_individuals,
         "rg_incremental_equiv": q_rg_incremental_equiv,
@@ -1655,6 +1669,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(24 AS BIGINT) AS n_bytes,
                CAST(dims.dim_idx AS INT) AS dim_idx,
                CAST(coalesce(h.c, 0) * 1000000 // 24 AS BIGINT) AS feat_ppm
+        FROM m CROSS JOIN dims
+        LEFT JOIN h ON h.media_id = m.media_id AND h.d = dims.dim_idx
+    """
+
+    q["mm_pgm_decode"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 substr(rpad(text, 15, '.'), 1, 15) AS px
+          FROM documents
+        ),
+        b AS (SELECT media_id, px, unnest(range(1, 16)) AS i FROM m),
+        byt AS (
+          SELECT media_id,
+                 ascii(substr(px, CAST(i AS INT), 1)) // 32 AS d
+          FROM b
+        ),
+        h AS (SELECT media_id, d, count(*) AS c FROM byt GROUP BY 1, 2),
+        dims AS (SELECT unnest(range(8)) AS dim_idx)
+        SELECT CAST(m.media_id AS BIGINT) AS media_id,
+               CAST(15 AS BIGINT) AS n_bytes,
+               CAST(dims.dim_idx AS INT) AS dim_idx,
+               CAST(coalesce(h.c, 0) * 1000000 // 15 AS BIGINT) AS feat_ppm
         FROM m CROSS JOIN dims
         LEFT JOIN h ON h.media_id = m.media_id AND h.d = dims.dim_idx
     """

@@ -92,6 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
     # expire_snapshots from a maintenance job, iceberg_sink.maintenance_sql)
     mp = sub.add_parser("maintain")
     mp.add_argument("--sink", required=True, help="sink root dir")
+    mp.add_argument("--told", default=None,
+                    help="told-trail root dir (optional: merge trail dirs)")
     mp.add_argument("--rounds", type=int, default=1,
                     help="number of maintenance passes (0 = run forever)")
     mp.add_argument("--interval-seconds", type=float, default=30.0,
@@ -199,9 +201,16 @@ def main(argv: list[str] | None = None) -> int:
 
         # n_buckets=None adopts the sink's pinned bucket layout
         sink = IdempotentParquetSink(spark, args.sink, n_buckets=None)
+        told = None
+        if args.told:
+            from relation_graph_spark.told_trail import ToldTrail
+
+            told = ToldTrail(spark, args.told)
         rnd = 0
         while True:
             actions = sink.compact()
+            if told is not None and told.compact():
+                actions.append("told-merge")
             print(f"maintain pass {rnd}: {actions or ['noop']}")
             rnd += 1
             if args.rounds and rnd >= args.rounds:

@@ -184,6 +184,52 @@ def decode_ppm(payload: bytes):
 register_decoder("ppm", decode_ppm)
 
 
+def decode_pgm(payload: bytes):
+    """Binary PGM (P5): same netpbm header grammar as P6 but ONE grayscale
+    byte per pixel. Second registered decoder — demonstrates the registry
+    generalizes beyond one format (round-4 VERDICT item 6); pure
+    numpy/stdlib like decode_ppm."""
+    import numpy as np
+
+    if not payload.startswith(b"P5"):
+        raise ValueError("not a binary PGM (P5) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # header comment
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PGM not supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+    return px.reshape(h, w)
+
+
+register_decoder("pgm", decode_pgm)
+
+
+def synthesize_pgm(docs: DataFrame, width: int = 6, height: int = 4) -> DataFrame:
+    """Deterministic P5 payloads from documents (grayscale twin of
+    synthesize_ppm): pixel bytes are the text right-padded with '.' and
+    truncated to width*height — reproducible by a DuckDB oracle."""
+    n = width * height
+    header = f"P5\n{width} {height}\n255\n"
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("media_id"),
+        F.encode(
+            F.concat(F.lit(header), F.substring(F.rpad(F.col("text"), n, "."), 1, n)),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
 def synthesize_ppm(docs: DataFrame, width: int = 4, height: int = 2) -> DataFrame:
     """Deterministic P6 payloads from documents: pixel bytes are the text
     right-padded with '.' and truncated to width*height*3 — binary column,

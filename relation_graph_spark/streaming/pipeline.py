@@ -91,6 +91,9 @@ class IncrementalClosureJob:
         self.compact_every = compact_every
         self.sink = sink or IdempotentParquetSink(spark, os.path.join(work_dir, "sink"))
         self.told_dir = os.path.join(work_dir, "told_state")
+        from relation_graph_spark.told_trail import ToldTrail
+
+        self.told_trail = ToldTrail(spark, self.told_dir)
         self.state_dir = os.path.join(work_dir, "closure_state")
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         os.makedirs(work_dir, exist_ok=True)
@@ -184,11 +187,12 @@ class IncrementalClosureJob:
         # totals below, never from rescanning this). Per-batch subdir with
         # overwrite mode: a replayed batch rewrites identical content
         # instead of appending duplicates (same protocol as sink/state).
+        # Retention: per-batch dirs fold into one trail dir per snapshot
+        # interval (post-commit maintenance below), so the trail's dir
+        # count is bounded like the sink's and the state store's.
         seq_cols = [f.name for f in SEQ_TS_SCHEMA.fields if f.name in batch_df.columns]
         batch_seq = batch_df.select(*seq_cols)
-        batch_seq.write.mode("overwrite").parquet(
-            os.path.join(self.told_dir, f"batch={int(batch_id)}")
-        )
+        self.told_trail.write_batch(batch_seq, int(batch_id))
 
         from relation_graph_spark.incremental import (
             apply_delta,
@@ -315,6 +319,11 @@ class IncrementalClosureJob:
             from relation_graph_spark.incremental import gc_state
 
             gc_state(self.state_dir, int(batch_id))
+            # fold the closed snapshot interval's told dirs into one trail
+            # dir (cost = the interval's own rows — bounded, like the
+            # sink's inline minor fold; O(total) trail merges run only via
+            # the out-of-band `maintain` CLI)
+            self.told_trail.fold_through(int(batch_id))
         if hasattr(self.sink, "maybe_compact"):
             self.sink.maybe_compact()
         _mark("maintenance")

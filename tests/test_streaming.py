@@ -647,6 +647,48 @@ def test_maintain_cli_out_of_band(spark, tmp_path):
     assert data_dirs == []
 
 
+def test_told_trail_bounded_and_readable(spark, tmp_path):
+    """Told-trail retention (round-4 VERDICT item 3): per-batch told dirs
+    fold into one trail dir per snapshot interval, so dir count is bounded
+    by batches/compact_every instead of growing one per batch; the audit
+    read returns every ingested doc; the out-of-band merge collapses the
+    trails to one."""
+    inp = str(tmp_path / "in")
+    batches = _chain_batches(13)
+    _write_token_batches(spark, inp, batches)
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    job = IncrementalClosureJob(
+        spark, inp, str(tmp_path / "work"), cfg, compact_every=4
+    )
+    job.run_available(max_files_per_trigger=1)
+    trail = job.told_trail
+    # snapshots at batches 0, 4, 8, 12 -> 4 trail dirs, 0 raw dirs left
+    assert trail.dir_count() <= 5
+    n_docs = sum(len(b) for b in batches)
+    assert trail.read().count() == n_docs
+    # per-source content matches the manifests' running lineage totals
+    got = {
+        r["source"]: r["n"]
+        for r in trail.read().groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == job.metrics()[-1]["told_rows_by_source"]
+    # out-of-band merge (the `maintain` told tier): one dir, same content
+    assert trail.compact()
+    assert len(trail._trails()) == 1
+    assert trail.read().count() == n_docs
+    # crash-window debris: a stale source trail at or below the merged id
+    # is superseded by the read rule, not double-counted
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stale = os.path.join(trail.root, "trail-0")
+    os.makedirs(stale, exist_ok=True)
+    dup = trail.read().limit(1).toPandas()
+    pq.write_table(pa.Table.from_pandas(dup, preserve_index=False),
+                   os.path.join(stale, "part0.parquet"))
+    assert trail.read().count() == n_docs
+
+
 def test_state_gc_on_snapshot(spark, tmp_path):
     """compact_every=3 forces periodic snapshots; superseded snap/delta dirs
     are expired after the snapshot's batch commits."""

@@ -397,6 +397,45 @@ def test_ppm_decoder_and_registry():
     assert "ppm" in MEDIA_DECODERS
 
 
+def test_pgm_decoder_and_registry(spark):
+    """Second registered decoder (grayscale P5): exact pixel recovery,
+    format cross-rejection, and end-to-end equality of the Arrow feature
+    path against a P6 payload carrying the SAME pixel bytes — proves the
+    registry seam generalizes beyond one format."""
+    import pytest as _pt
+
+    from relation_graph_spark.ops.multimodal import (
+        MEDIA_DECODERS,
+        decode_image_features,
+        decode_pgm,
+    )
+
+    px = bytes(range(24))  # 6x4 grayscale
+    img = decode_pgm(b"P5\n# c\n6 4\n255\n" + px)
+    assert img.shape == (4, 6) and bytes(img.reshape(-1)) == px
+    with _pt.raises(ValueError):
+        decode_pgm(b"P6\n1 1\n255\n\x00\x00\x00")
+    with _pt.raises(ValueError):
+        decode_pgm(b"P5\n1 1\n65535\n\x00\x00")
+    assert "pgm" in MEDIA_DECODERS
+    # same pixel bytes through both decoders -> identical histograms
+    pgm = spark.createDataFrame(
+        [(1, b"P5\n8 3\n255\n" + px)], "media_id bigint, payload binary"
+    )
+    ppm = spark.createDataFrame(
+        [(1, b"P6\n4 2\n255\n" + px)], "media_id bigint, payload binary"
+    )
+    got_pgm = {
+        (r.dim_idx, r.feat_ppm)
+        for r in decode_image_features(pgm, dim=8, fmt="pgm").collect()
+    }
+    got_ppm = {
+        (r.dim_idx, r.feat_ppm)
+        for r in decode_image_features(ppm, dim=8, fmt="ppm").collect()
+    }
+    assert got_pgm == got_ppm
+
+
 def test_decode_image_features_unregistered_format(spark):
     from relation_graph_spark.ops.multimodal import decode_image_features
 
