@@ -45,6 +45,17 @@ def main():
         "feedback present (round-3 VERDICT item 1)",
     )
     ap.add_argument(
+        "--equiv-islands", type=int, default=0,
+        help="CONSTANT-ENTAILMENT equivalence workload (round-4 VERDICT "
+        "item 4): each batch is an independent island of N classes with "
+        "its own standing AX_EQUIV_SOME definitions (token-offset "
+        "namespaces, no cross-batch hierarchy). Per-batch entailment "
+        "volume is constant while committed history grows, so the raw "
+        "per-batch flat ratio measures COST, not workload growth — "
+        "--classes/--some/--equiv then size each island, not the whole "
+        "stream",
+    )
+    ap.add_argument(
         "--maintain-proc", action="store_true",
         help="run out-of-band sink/told maintenance (major size-tiered "
         "merges) from a SECOND process for the whole stream — the "
@@ -67,8 +78,30 @@ def main():
     spark = get_spark("rgs-bench-stream", master=f"local[{args.cpus}]",
                       shuffle_partitions=args.cpus)
 
-    rows = gen_ontology_rows(args.classes, args.props, args.some)
-    if args.equiv:
+    batch_row_lists = None
+    if args.equiv_islands:
+        # one island per batch: identical structure, disjoint token
+        # namespaces -> constant per-batch entailment over growing history
+        def _island(b):
+            off = (b + 1) * 10_000_000
+            base = gen_ontology_rows(args.equiv_islands, args.props, args.some)
+            isl = [[r[0]] + [t + off for t in r[1:]] for r in base]
+            base_c, base_p = 100 + off, 100 + off + args.equiv_islands
+            for i in range(max(1, args.equiv)):
+                d = [
+                    103,  # AX_EQUIV_SOME
+                    base_c + (7919 * (i + 1)) % args.equiv_islands,
+                    base_p + i % args.props,
+                    base_c + (104729 * (i + 1)) % args.equiv_islands,
+                ]
+                isl.insert((i + 1) * len(isl) // (max(1, args.equiv) + 1), d)
+            return isl
+
+        batch_row_lists = [_island(b) for b in range(args.batches)]
+        rows = [r for isl in batch_row_lists for r in isl]
+    else:
+        rows = gen_ontology_rows(args.classes, args.props, args.some)
+    if args.equiv and not args.equiv_islands:
         # definitions over existing class/property tokens, spread through
         # the stream so some arrive before and some after their members
         base_c, base_p = 100, 100 + args.classes
@@ -122,8 +155,16 @@ def main():
         t for i in range(args.tail_batches) for t in _tail_tokens(i)
     ]
 
-    k = (len(recs) + args.batches - 1) // args.batches
-    parts = [recs[i * k : (i + 1) * k] for i in range(args.batches)]
+    recs.sort(key=lambda r: r["doc_id"])  # restore row order (doc ids are ordinal)
+    if batch_row_lists is not None:
+        # island mode: batch boundaries follow island boundaries exactly
+        parts, pos = [], 0
+        for isl in batch_row_lists:
+            parts.append(recs[pos : pos + len(isl)])
+            pos += len(isl)
+    else:
+        k = (len(recs) + args.batches - 1) // args.batches
+        parts = [recs[i * k : (i + 1) * k] for i in range(args.batches)]
     parts += [_tail_recs(i) for i in range(args.tail_batches)]
     for i, part in enumerate(parts):
         path = f"{inp}/p{i:04d}.parquet"
@@ -297,6 +338,7 @@ def main():
                 "classes": args.classes,
                 "some": args.some,
                 "equiv_defs": args.equiv,
+                "equiv_islands": args.equiv_islands,
                 "cpus": args.cpus,
                 "rel_buckets": incremental.REL_BUCKETS,
                 "history_join_pruning": prune,

@@ -56,6 +56,18 @@ def test_maintenance_sql_compaction_analog():
     assert all(s.startswith("CALL local.system.") for s in stmts)
 
 
+def test_fresh_table_commit_log_is_empty(spark):
+    """ADVICE r4 (medium): before the table exists, the snapshot scan must
+    report 'nothing committed' instead of raising — so the very first
+    append (and IncrementalClosureJob's is_committed-first call order) can
+    proceed to create the table."""
+    sink = IcebergEdgeSink(spark, "nonexistent_catalog.db.edges")
+    assert sink._snapshot_summaries() == []
+    assert sink.committed_batches() == []
+    assert not sink.is_committed(0)
+    assert sink.metrics() == []
+
+
 def _iceberg_available(spark) -> bool:
     try:
         spark.conf.get("spark.sql.catalog.local")

@@ -618,6 +618,48 @@ def test_compactor_lock_exclusion_and_stale_steal(spark, tmp_path):
     assert not os.path.exists(os.path.join(root, "compaction.lock"))
 
 
+def test_replay_and_totals_survive_fold_crash_windows(spark, tmp_path):
+    """ADVICE r4 (low x2): (a) a direct sink.append() replay of a batch
+    whose per-batch manifest was folded returns the summary agg instead of
+    crashing on the deleted file; (b) a crash between manifest fold and
+    sweep (per-batch files still on disk next to the summary) neither
+    double-reports metrics nor re-sums totals on the next fold."""
+    import json as _json
+
+    from relation_graph_spark.sinks import IdempotentParquetSink
+
+    root = str(tmp_path / "sink")
+    sink = IdempotentParquetSink(spark, root, compact_min_batches=2)
+    for b in range(4):
+        sink.append(_edge_batch(spark, b), b)
+        sink.maybe_compact()
+    sink.compact()
+    sink.compact()  # second cycle: runs merged to one, manifests folded
+    s = sink._manifest_summary()
+    assert s and set(s["batch_ids"]) == {0, 1, 2, 3}
+    total = s["agg"]["n_rows"]
+    assert total == _edge_total(4)
+    # (a) direct replay of a folded batch: summary agg, no FileNotFoundError
+    m = sink.append(_edge_batch(spark, 1), 1)
+    assert m.get("compacted") and m["n_rows"] == total
+    # (b) crash window: resurrect a folded per-batch manifest file
+    with open(os.path.join(sink.manifest_dir, "2.json"), "w") as fh:
+        _json.dump({"batch_id": 2, "n_rows": 30, "n_tombstones": 0}, fh)
+    ms = sink.metrics()
+    assert len(ms) == 1 and ms[0]["n_rows"] == total  # not reported twice
+    sink._fold_manifests(3)  # re-fold: leftover must not re-sum
+    assert sink._manifest_summary()["agg"]["n_rows"] == total
+
+
+def test_save_state_delta_empty_dict(spark, tmp_path):
+    """ADVICE r4 (low): a deltas dict with none of the persisted frames
+    returns {} instead of crashing on the empty count job."""
+    from relation_graph_spark.incremental import save_state_delta
+
+    assert save_state_delta({}, str(tmp_path / "st"), 0) == {}
+    assert save_state_delta({"not_a_frame": None}, str(tmp_path / "st"), 1) == {}
+
+
 def test_maintain_cli_out_of_band(spark, tmp_path):
     """The `maintain` CLI subcommand runs major merges against an existing
     sink root (adopting its pinned bucket layout) — the separate-process

@@ -34,7 +34,11 @@ ALLOWLIST = {
     ("ann_ivf_topk", "global_window"): "probe ranking over n_centroids rows + stage-2 merge over <= k*64 survivors",
 }
 
-SKIP = {"rg_incremental_stream", "rg_incremental_individuals"}
+SKIP = {
+    "rg_incremental_stream",
+    "rg_incremental_individuals",
+    "win_session_finalize_stream",
+}
 
 
 def main() -> int:
