@@ -42,6 +42,7 @@ without O(history) writes per batch.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyspark.sql.functions as F
@@ -981,6 +982,96 @@ def save_state_delta(
     return written
 
 
+def consolidate_state_deltas(
+    spark: SparkSession,
+    deltas: dict[str, DataFrame],
+    root: str,
+    batch_id: int,
+    fold_batch_ids: list[int],
+) -> dict[str, str]:
+    """Write batch `batch_id`'s delta dirs CONSOLIDATED with the on-disk
+    delta dirs of `fold_batch_ids` (earlier deltas since the last snapshot
+    or fold point). Bounds the per-frame path count between snapshots:
+    without it, every per-batch job that scans state pays file-listing +
+    small-file overhead growing linearly with deltas-since-snapshot (the
+    measured 2-5x per-batch ramp across a 16-batch snapshot interval —
+    BENCH/BASELINE.md 4.13). Cost is the folded DELTAS' bytes, never
+    O(state) — the state-store analog of the sink's inline minor fold.
+
+    Crash-safety: the superseded dirs are NOT deleted here. The pipeline
+    deletes them only after the batch's sink commit, so a crash in between
+    leaves the old chain for load_state (which ignores the uncommitted
+    consolidated dir) and the replay rewrites it. A `folded.json` marker
+    inside the consolidated dir records which batch ids it covers
+    (transitively, through earlier consolidated dirs), so a crash AFTER the
+    commit but BEFORE the post-commit expiry cannot double-read the
+    superseded dirs on restart — the state-store analog of the sink's
+    summary-covered manifest exclusion (sinks.py)."""
+    merged: dict[str, DataFrame] = {}
+    covered: set[int] = set(fold_batch_ids)
+    for b in fold_batch_ids:
+        covered |= set(folded_delta_ids(root, b))
+    for name in PERSISTED_FRAMES:
+        old = [
+            p
+            for b in fold_batch_ids
+            if os.path.isdir(p := os.path.join(root, f"delta-{b}", name))
+        ]
+        frames = []
+        if old:
+            if name == "rel":
+                frames.append(_read_rel_bucketed(spark, old).drop("bucket"))
+            else:
+                frames.append(spark.read.parquet(*old))
+        if name in deltas:
+            frames.append(deltas[name])
+        if not frames:
+            continue
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        merged[name] = df
+    written = save_state_delta(merged, root, batch_id)
+    ddir = os.path.join(root, f"delta-{batch_id}")
+    os.makedirs(ddir, exist_ok=True)
+    tmp = os.path.join(ddir, "folded.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"folded": sorted(covered)}, f)
+    os.replace(tmp, os.path.join(ddir, "folded.json"))
+    return written
+
+
+def folded_delta_ids(root: str, batch_id: int) -> list[int]:
+    """Batch ids a consolidated delta dir covers ([] for plain deltas)."""
+    p = os.path.join(root, f"delta-{batch_id}", "folded.json")
+    try:
+        with open(p) as f:
+            return [int(b) for b in json.load(f)["folded"]]
+    except (FileNotFoundError, KeyError, ValueError):
+        return []
+
+
+def live_delta_batches(root: str, committed: set[int], base: int) -> list[int]:
+    """Committed delta batches above snapshot `base`, EXCLUDING any id
+    covered by a committed consolidated delta's folded.json — a crash after
+    that delta's commit but before the superseded dirs' expiry must not
+    double-read them."""
+    ids = [b for b in delta_batches(root) if b in committed and b > base]
+    covered: set[int] = set()
+    for b in ids:
+        covered |= set(folded_delta_ids(root, b))
+    return [b for b in ids if b not in covered]
+
+
+def expire_state_deltas(root: str, batch_ids: list[int]) -> None:
+    """Post-commit removal of delta dirs superseded by a committed
+    consolidated delta (idempotent; replays just redo it)."""
+    import shutil
+
+    for b in batch_ids:
+        shutil.rmtree(os.path.join(root, f"delta-{b}"), ignore_errors=True)
+
+
 def repoint_state(
     spark: SparkSession, state: dict[str, DataFrame], frame_paths: dict[str, list[str]]
 ) -> None:
@@ -1053,7 +1144,10 @@ def load_state(
         return None
     _pin_layout(root)
     base = max(snaps)
-    deltas = [b for b in delta_batches(root) if b in committed_set and b > base]
+    # live_delta_batches excludes dirs covered by a committed consolidated
+    # delta (crash between its commit and the superseded dirs' expiry would
+    # otherwise double-read their rows)
+    deltas = live_delta_batches(root, committed_set, base)
     state: dict[str, DataFrame] = {}
     frame_paths: dict[str, list[str]] = {}
     for name in PERSISTED_FRAMES:

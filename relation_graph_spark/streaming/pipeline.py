@@ -81,6 +81,7 @@ class IncrementalClosureJob:
         cfg: RGConfig | None = None,
         watermark_horizon_seconds: int = 3600,
         compact_every: int = 16,
+        delta_fold_every: int | None = None,
         sink=None,
     ):
         self.spark = spark
@@ -89,6 +90,16 @@ class IncrementalClosureJob:
         self.cfg = cfg or RGConfig()
         self.horizon = watermark_horizon_seconds
         self.compact_every = compact_every
+        # consolidate accumulated delta dirs every N delta batches: bounds
+        # per-frame path count between snapshots (file-listing/small-file
+        # overhead otherwise ramps per-batch cost 2-5x across a snapshot
+        # interval — BENCH/BASELINE.md 4.13); cost = the folded deltas'
+        # bytes, the state-store analog of the sink's inline minor fold
+        self.delta_fold_every = (
+            delta_fold_every
+            if delta_fold_every is not None
+            else max(1, int(os.environ.get("RGS_DELTA_FOLD", "4")))
+        )
         self.sink = sink or IdempotentParquetSink(spark, os.path.join(work_dir, "sink"))
         self.told_dir = os.path.join(work_dir, "told_state")
         from relation_graph_spark.told_trail import ToldTrail
@@ -103,6 +114,11 @@ class IncrementalClosureJob:
         self._state_batch: int | None = None
         self._prev_unsat: DataFrame | None = None
         self._deltas_since_snapshot = 0
+        # delta dirs on disk since the last snapshot/fold (fold candidates)
+        # and dirs superseded by a consolidated delta awaiting post-commit
+        # expiry
+        self._delta_ids: list[int] = []
+        self._pending_delta_expiry: list[int] = []
 
     # ---------------------------------------------------------------- state
     def _load_hwm(self) -> float | None:
@@ -132,6 +148,36 @@ class IncrementalClosureJob:
         state, batch_id = loaded
         self._state = state
         self._state_batch = batch_id
+        # rebuild the fold-candidate list: committed LIVE delta dirs above
+        # the newest committed snapshot (ids covered by a committed
+        # consolidated delta's folded.json are excluded — and their dirs
+        # expired here, finishing an interrupted post-commit expiry)
+        from relation_graph_spark.incremental import (
+            delta_batches,
+            expire_state_deltas,
+            live_delta_batches,
+            snapshot_batches,
+        )
+
+        committed = set(self.sink.committed_batches())
+        snaps = [b for b in snapshot_batches(self.state_dir) if b in committed]
+        base = max(snaps) if snaps else -1
+        self._delta_ids = live_delta_batches(self.state_dir, committed, base)
+        stale = [
+            b
+            for b in delta_batches(self.state_dir)
+            if b in committed and b > base and b not in self._delta_ids
+        ]
+        if stale:
+            expire_state_deltas(self.state_dir, stale)
+        # true delta-batch count since the snapshot (a consolidated dir
+        # stands for itself plus everything its folded.json covers), so the
+        # snapshot cadence is unchanged by restarts
+        from relation_graph_spark.incremental import folded_delta_ids
+
+        self._deltas_since_snapshot = len(self._delta_ids) + sum(
+            len(folded_delta_ids(self.state_dir, b)) for b in self._delta_ids
+        )
         self._prev_unsat = output_frames(self._state, self.cfg)["unsat"].localCheckpoint()
 
     def _prev_manifest(self) -> dict:
@@ -235,12 +281,42 @@ class IncrementalClosureJob:
         if wrote_snapshot:
             frame_paths = save_state_snapshot(state, self.state_dir, int(batch_id))
             self._deltas_since_snapshot = 0
+            self._delta_ids = []
         else:
-            written = save_state_delta(deltas, self.state_dir, int(batch_id))
+            fold_ids = (
+                list(self._delta_ids)
+                if len(self._delta_ids) + 1 >= self.delta_fold_every
+                else []
+            )
+            if fold_ids:
+                # consolidated delta: this batch's delta merged with the
+                # accumulated delta dirs — keeps per-frame path counts
+                # bounded between snapshots (superseded dirs removed only
+                # after this batch's commit, see maintenance below)
+                from relation_graph_spark.incremental import (
+                    consolidate_state_deltas,
+                )
+
+                written = consolidate_state_deltas(
+                    self.spark, deltas, self.state_dir, int(batch_id), fold_ids
+                )
+                self._pending_delta_expiry = fold_ids
+                self._delta_ids = [int(batch_id)]
+            else:
+                written = save_state_delta(deltas, self.state_dir, int(batch_id))
+                self._delta_ids.append(int(batch_id))
             self._deltas_since_snapshot += 1
             prev_paths: dict = dict(state.get("_frame_paths") or {})
+            folded_prefixes = tuple(
+                os.path.join(self.state_dir, f"delta-{b}") + os.sep
+                for b in fold_ids
+            )
             frame_paths = {
-                name: list(prev_paths.get(name, []))
+                name: [
+                    p
+                    for p in prev_paths.get(name, [])
+                    if not (folded_prefixes and p.startswith(folded_prefixes))
+                ]
                 + ([written[name]] if name in written else [])
                 for name in set(prev_paths) | set(written)
             }
@@ -315,6 +391,11 @@ class IncrementalClosureJob:
         # O(total sink) bytes and run out-of-band via sink.compact() /
         # the `maintain` CLI subcommand, never on this critical path).
         # Both are idempotent and crash-safe (replays just redo them).
+        if self._pending_delta_expiry:
+            from relation_graph_spark.incremental import expire_state_deltas
+
+            expire_state_deltas(self.state_dir, self._pending_delta_expiry)
+            self._pending_delta_expiry = []
         if wrote_snapshot:
             from relation_graph_spark.incremental import gc_state
 

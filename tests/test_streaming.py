@@ -689,6 +689,101 @@ def test_maintain_cli_out_of_band(spark, tmp_path):
     assert data_dirs == []
 
 
+def test_delta_consolidation_bounds_state_dirs(spark, tmp_path):
+    """Delta mini-folds: accumulated delta dirs consolidate every
+    delta_fold_every batches (bounding per-frame path counts between
+    snapshots — the measured per-batch ramp source), with superseded dirs
+    removed only post-commit; results and restart behavior unchanged."""
+    from relation_graph_spark.materialize import materialize
+
+    inp = str(tmp_path / "in")
+    batches = _chain_batches(9)
+    stage = str(tmp_path / "stage")
+    _write_token_batches(spark, stage, batches)
+    files = sorted(os.listdir(stage))
+    os.makedirs(inp)
+    for f in files[:6]:
+        shutil.copy2(os.path.join(stage, f), os.path.join(inp, f))
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    work = str(tmp_path / "work")
+
+    def _job():
+        return IncrementalClosureJob(
+            spark, inp, work, cfg, compact_every=100, delta_fold_every=3
+        )
+
+    job1 = _job()
+    job1.run_available(max_files_per_trigger=1)
+    sd = os.path.join(work, "closure_state")
+    deltas1 = sorted(d for d in os.listdir(sd) if d.startswith("delta-"))
+    # b1,b2 folded into delta-3; b4 folded with it into delta-5
+    assert deltas1 == ["delta-5"], deltas1
+
+    # restart with the remaining batches: fold-candidate list rebuilt from
+    # disk, consolidation continues across the restart
+    for f in files[6:]:
+        shutil.copy2(os.path.join(stage, f), os.path.join(inp, f))
+    job2 = _job()
+    job2.run_available(max_files_per_trigger=1)
+    deltas2 = sorted(d for d in os.listdir(sd) if d.startswith("delta-"))
+    assert len(deltas2) <= 3, deltas2
+
+    rows = [r for b in batches for r in b]
+    golden = {
+        (r.s, r.p, r.o)
+        for r in materialize(FX._rows_to_df(spark, rows, "c"), cfg).collect()
+    }
+    assert _sink_triples(job2) == golden
+    out = job2.result_edges()
+    assert out.count() == out.select("edge_hash").distinct().count()
+
+
+def test_delta_consolidation_crash_before_expiry(spark, tmp_path, monkeypatch):
+    """Crash window: a consolidated delta's batch COMMITS but the process
+    dies before expire_state_deltas removes the superseded dirs. Restart
+    must not double-read them (folded.json exclusion in load_state /
+    live_delta_batches) and must finish the interrupted expiry."""
+    from relation_graph_spark import incremental as inc
+    from relation_graph_spark.materialize import materialize
+
+    inp = str(tmp_path / "in")
+    batches = _chain_batches(6)
+    _write_token_batches(spark, inp, batches)
+    cfg = RGConfig(output_subclasses=True, reflexive_subclasses=False)
+    work = str(tmp_path / "work")
+
+    # job1: expiry disabled = crash immediately after every commit, before
+    # the maintenance step can remove superseded dirs
+    monkeypatch.setattr(inc, "expire_state_deltas", lambda root, ids: None)
+    job1 = IncrementalClosureJob(
+        spark, inp, work, cfg, compact_every=100, delta_fold_every=3
+    )
+    job1.run_available(max_files_per_trigger=1)
+    monkeypatch.undo()
+    sd = os.path.join(work, "closure_state")
+    deltas = sorted(d for d in os.listdir(sd) if d.startswith("delta-"))
+    # superseded dirs still on disk next to the consolidated ones
+    assert "delta-1" in deltas and "delta-5" in deltas, deltas
+
+    # restart: loaded state must contain each told row ONCE (rel is the
+    # frame that would double), stale dirs get expired, results = batch
+    job2 = IncrementalClosureJob(
+        spark, inp, work, cfg, compact_every=100, delta_fold_every=3
+    )
+    job2._ensure_state_loaded()
+    rel = job2._state["rel"]
+    assert rel.count() == rel.dropDuplicates().count()
+    deltas_after = sorted(d for d in os.listdir(sd) if d.startswith("delta-"))
+    assert deltas_after == ["delta-5"], deltas_after
+
+    rows = [r for b in batches for r in b]
+    golden = {
+        (r.s, r.p, r.o)
+        for r in materialize(FX._rows_to_df(spark, rows, "c"), cfg).collect()
+    }
+    assert _sink_triples(job2) == golden
+
+
 def test_told_trail_bounded_and_readable(spark, tmp_path):
     """Told-trail retention (round-4 VERDICT item 3): per-batch told dirs
     fold into one trail dir per snapshot interval, so dir count is bounded
