@@ -315,6 +315,28 @@ def main():
             ),
             "compact_min_batches": sink.compact_min_batches,
         }
+    # state-store layout: the per-frame parquet PATH count is what every
+    # per-batch job that scans state pays (file listing + small files);
+    # delta consolidation (RGS_DELTA_FOLD) exists to bound delta_dirs
+    # between snapshots
+    sd = os.path.join(work, "w", "closure_state")
+    state_layout = {}
+    if os.path.isdir(sd):
+        state_layout = {
+            "snapshot_dirs": len(
+                [d for d in os.listdir(sd) if d.startswith("snap-")]
+            ),
+            "delta_dirs": len(
+                [d for d in os.listdir(sd) if d.startswith("delta-")]
+            ),
+            "state_parquet_files": sum(
+                1
+                for _r, _d, fs in os.walk(sd)
+                for f in fs
+                if f.endswith(".parquet")
+            ),
+            "delta_fold_every": job.delta_fold_every,
+        }
     print(
         json.dumps(
             {
@@ -343,6 +365,7 @@ def main():
                 "rel_buckets": incremental.REL_BUCKETS,
                 "history_join_pruning": prune,
                 "sink_layout": layout,
+                "state_layout": state_layout,
             }
         )
     )

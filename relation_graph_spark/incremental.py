@@ -901,9 +901,17 @@ def assemble_delta(
 
 
 def _write_rel_bucketed(rel: DataFrame, path: str) -> None:
-    rel.withColumn("bucket", _rel_bucket()).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path)
+    # repartition ON THE BUCKET COLUMN before the partitionBy write: all of
+    # a bucket's rows land in one task, so each bucket dir gets exactly ONE
+    # file. Without it every shuffle task writes its own file into every
+    # bucket dir it touches — up to min(rows, tasks) files PER BUCKET — and
+    # state scans degrade linearly in accumulated file count (the measured
+    # 4-10x per-batch ramp at constant workload, BENCH/BASELINE.md 4.13).
+    # At cluster scale the file-size knob stays RGS_REL_BUCKETS itself
+    # (more buckets = more, smaller files), not files-per-bucket.
+    rel.withColumn("bucket", _rel_bucket()).repartition("bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
 
 
 def _pin_layout(root: str) -> None:
@@ -977,7 +985,12 @@ def save_state_delta(
             if name == "rel":
                 _write_rel_bucketed(deltas[name], path)
             else:
-                deltas[name].write.mode("overwrite").parquet(path)
+                # deltas are delta-sized by contract: ONE file per frame
+                # per delta (repartition keeps the upstream compute
+                # parallel; only the final write is single-task). File
+                # count per delta dir is thereby bounded by frame count,
+                # not by shuffle parallelism x row count.
+                deltas[name].repartition(1).write.mode("overwrite").parquet(path)
             written[name] = path
     return written
 
@@ -993,9 +1006,12 @@ def consolidate_state_deltas(
     delta dirs of `fold_batch_ids` (earlier deltas since the last snapshot
     or fold point). Bounds the per-frame path count between snapshots:
     without it, every per-batch job that scans state pays file-listing +
-    small-file overhead growing linearly with deltas-since-snapshot (the
-    measured 2-5x per-batch ramp across a 16-batch snapshot interval —
-    BENCH/BASELINE.md 4.13). Cost is the folded DELTAS' bytes, never
+    small-file overhead growing linearly with deltas-since-snapshot.
+    (The dominant term of that overhead is files-per-write — fixed at the
+    write sites by bucket-repartitioned single-file writes; consolidation
+    bounds the remaining per-DIR growth. Constant-workload measurement of
+    both effects: BENCH/BASELINE.md 4.13.) Cost is the folded DELTAS'
+    bytes, never
     O(state) — the state-store analog of the sink's inline minor fold.
 
     Crash-safety: the superseded dirs are NOT deleted here. The pipeline

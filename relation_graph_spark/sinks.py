@@ -360,9 +360,13 @@ class IdempotentParquetSink:
             s = self._manifest_summary()
             return s["agg"] if s else {"batch_id": batch_id}
         path = os.path.join(self.data_dir, f"batch={batch_id}")
-        df.withColumn("bucket", self._bucket_col()).write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(path)
+        # repartition on the bucket column: one file per bucket dir (without
+        # it, every task writes its own file into every bucket it touches —
+        # up to min(rows, tasks) files per bucket per batch; see the state
+        # store's _write_rel_bucketed and BENCH/BASELINE.md 4.13)
+        df.withColumn("bucket", self._bucket_col()).repartition(
+            "bucket"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(path)
         n_tomb = 0
         if tombstones is not None:
             tdf = tombstones.select("edge_hash").dropDuplicates()
@@ -487,9 +491,12 @@ class IdempotentParquetSink:
         # schema-agnostic: keep whatever columns the batches carry (only
         # edge_hash + the bucket layout column are required by the protocol)
         cols = [c for c in df.columns if c != "bucket"] + ["bucket"]
-        df.select(*cols).write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(self.compacted_dir, f"gen={gen}")
-        )
+        # one file per bucket dir (see append); a compacted run is the
+        # long-lived layout every future history scan reads, so file
+        # discipline matters most here
+        df.select(*cols).repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(self.compacted_dir, f"gen={gen}"))
 
     def _fold_pending(self, marker: dict, pending: list[int]) -> dict:
         """MINOR fold: batch dirs above the newest run -> one new run. No

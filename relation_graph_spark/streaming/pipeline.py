@@ -91,9 +91,10 @@ class IncrementalClosureJob:
         self.horizon = watermark_horizon_seconds
         self.compact_every = compact_every
         # consolidate accumulated delta dirs every N delta batches: bounds
-        # per-frame path count between snapshots (file-listing/small-file
-        # overhead otherwise ramps per-batch cost 2-5x across a snapshot
-        # interval — BENCH/BASELINE.md 4.13); cost = the folded deltas'
+        # per-frame path count between snapshots (accumulated-file overhead
+        # otherwise ramps per-batch cost across a snapshot interval; the
+        # constant-workload measurement and the companion per-write file
+        # discipline are BENCH/BASELINE.md 4.13); cost = the folded deltas'
         # bytes, the state-store analog of the sink's inline minor fold
         self.delta_fold_every = (
             delta_fold_every

@@ -70,7 +70,9 @@ class ToldTrail:
 
     # -------------------------------------------------------------- write
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
-        df.write.mode("overwrite").parquet(
+        # one file per batch dir: the trail is audit-only and batch-sized,
+        # so file count should track batch count, not shuffle parallelism
+        df.repartition(1).write.mode("overwrite").parquet(
             os.path.join(self.root, f"batch={int(batch_id)}")
         )
 
@@ -106,6 +108,7 @@ class ToldTrail:
                 self.spark.read.option("basePath", self.root)
                 .parquet(*paths)
                 .drop("batch")
+                .repartition(1)
                 .write.mode("overwrite")
                 .parquet(tmp)
             )
@@ -132,9 +135,9 @@ class ToldTrail:
         name = f"trail-{max_id}-m{gen}"
         tmp = os.path.join(self.root, f".tmp-{name}")
         if srcs:
-            self.spark.read.parquet(*srcs).dropDuplicates(["doc_id"]).write.mode(
-                "overwrite"
-            ).parquet(tmp)
+            self.spark.read.parquet(*srcs).dropDuplicates(["doc_id"]).repartition(
+                1
+            ).write.mode("overwrite").parquet(tmp)
             os.rename(tmp, os.path.join(self.root, name))
         for _i, _k, d in trails:
             if d != name:

@@ -181,3 +181,72 @@ def test_session_resume_from_checkpoint(spark, tmp_path):
     # superseded open-state snapshots are GC'd
     snaps = glob.glob(os.path.join(work, "open_state", "snap-*"))
     assert len(snaps) == 1
+
+
+def test_session_crash_between_state_and_commit(spark, tmp_path):
+    """Crash injected AFTER the batch's open-state snapshot is written but
+    BEFORE its sink commit (the session job's load-bearing ordering,
+    session_pipeline.process_batch): the replay must re-run the batch —
+    the orphan snapshot is ignored (not committed), lateness decisions
+    repeat identically (watermark from the last COMMITTED manifest), each
+    finalized session is emitted exactly once, and the final result equals
+    an uninterrupted control run."""
+    inp = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    ctrl_in = str(tmp_path / "ctrl_in")
+    ctrl_work = str(tmp_path / "ctrl_work")
+
+    b0 = [("u1", 0, 1, 2), ("u1", 5, 2, 3)]
+    # b1 finalizes u1 (wm=240 > 5+30) while u2/u3 stay open (230+30, 240+30
+    # both >= 240) — the crash lands on a batch that BOTH emits and carries
+    # open state
+    b1 = [("u2", 230, 10, 11), ("u3", 240, 50, 51)]
+    b2 = [("u9", 600, 90, 91)]  # flush: finalizes u2 and u3
+    for d in (inp, ctrl_in):
+        write_session_file(d, "b0.parquet", b0)
+        write_session_file(d, "b1.parquet", b1)
+        write_session_file(d, "b2.parquet", b2)
+
+    job1 = SessionClosureStreamJob(
+        spark, inp, work, gap="30 minutes", delay_seconds=0
+    )
+    orig_append = job1.sink.append
+
+    def crashing_append(df, batch_id, **kw):
+        if int(batch_id) == 1:
+            raise RuntimeError("injected crash before sink commit")
+        return orig_append(df, batch_id, **kw)
+
+    job1.sink.append = crashing_append
+    try:
+        job1.run_available(max_files_per_trigger=1)
+        raise AssertionError("injected crash did not propagate")
+    except Exception as e:
+        assert "injected crash" in str(e)
+    # the orphan state snapshot exists on disk but its batch never committed
+    assert os.path.isdir(os.path.join(work, "open_state", "snap-1"))
+    assert 1 not in set(job1.sink.committed_batches())
+
+    job2 = SessionClosureStreamJob(
+        spark, inp, work, gap="30 minutes", delay_seconds=0
+    )
+    job2.run_available(max_files_per_trigger=1)
+
+    ctrl = SessionClosureStreamJob(
+        spark, ctrl_in, ctrl_work, gap="30 minutes", delay_seconds=0
+    )
+    ctrl.run_available(max_files_per_trigger=1)
+
+    assert _result_set(job2) == _result_set(ctrl) == _batch_oracle(
+        spark, b0 + b1 + b2, finalized_keys={"u1", "u2", "u3"}
+    )
+    # exactly-once across the crash: each session in exactly one manifest,
+    # totals equal the control's
+    assert sum(m["n_sessions_finalized"] for m in job2.metrics()) == 3
+    assert (
+        job2.metrics()[-1]["n_sessions_finalized_total"]
+        == ctrl.metrics()[-1]["n_sessions_finalized_total"]
+        == 3
+    )
+    out = job2.result()
+    assert out.count() == out.dropDuplicates().count()
