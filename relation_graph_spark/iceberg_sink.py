@@ -103,13 +103,44 @@ class IcebergEdgeSink:
         ]
 
     # --------------------------------------------------------- commit log
-    def _snapshot_summaries(self) -> list[dict]:
+    # AnalysisException conditions that definitively mean "the table cannot
+    # exist" (unknown catalog / namespace / table). Anything else — notably
+    # transient catalog/network failures — must PROPAGATE: treating them as
+    # 'nothing committed' would defeat the exactly-once replay guard (a
+    # committed batch re-appends) and reset the watermark hwm to None
+    # (round-5 ADVICE, medium).
+    _NOT_FOUND_CONDITIONS = frozenset(
+        {
+            "TABLE_OR_VIEW_NOT_FOUND",
+            "SCHEMA_NOT_FOUND",
+            "CATALOG_NOT_FOUND",
+            # an unconfigured catalog name falls through to spark_catalog,
+            # which rejects the multi-part namespace with this condition
+            "REQUIRES_SINGLE_PART_NAMESPACE",
+        }
+    )
+
+    def _table_exists(self) -> bool:
+        """Explicit existence probe; only definitive not-found maps to
+        False, everything else re-raises."""
+        from pyspark.errors import AnalysisException
+
         try:
-            rows = self.spark.sql(
-                f"SELECT summary FROM {self.table}.snapshots ORDER BY committed_at"
-            ).collect()
-        except Exception:
+            return self.spark.catalog.tableExists(self.table)
+        except AnalysisException as e:
+            cond = e.getCondition() if hasattr(e, "getCondition") else None
+            if cond in self._NOT_FOUND_CONDITIONS:
+                return False
+            raise
+
+    def _snapshot_summaries(self) -> list[dict]:
+        if not self._table_exists():
             return []  # table not created yet: no snapshots, nothing committed
+        # no blanket handler: a failing metadata query must surface, not
+        # silently read as an empty commit log
+        rows = self.spark.sql(
+            f"SELECT summary FROM {self.table}.snapshots ORDER BY committed_at"
+        ).collect()
         return [dict(r.summary) for r in rows]
 
     def committed_batches(self) -> list[int]:
@@ -193,17 +224,18 @@ class IcebergEdgeSink:
                 "dedup_new pruning requires the bucket-layout key 'edge_hash' "
                 f"(table is bucketed on it); got key={key!r}"
             )
-        try:
-            existing = self.spark.table(self.table).select(key)
-        except Exception:
+        if not self._table_exists():
             return df  # table not created yet: nothing committed
+        # a transient read failure must propagate — silently skipping the
+        # anti-join would append duplicate rows (same class of bug as the
+        # _snapshot_summaries blanket handler)
+        existing = self.spark.table(self.table).select(key)
         return df.join(existing, on=key, how="left_anti")
 
     # ---------------------------------------------------------------- read
     def read(self) -> DataFrame | None:
         """Merge-on-read scans already exclude retracted rows — no manual
         tombstone anti-join."""
-        try:
-            return self.spark.table(self.table)
-        except Exception:
+        if not self._table_exists():
             return None
+        return self.spark.table(self.table)

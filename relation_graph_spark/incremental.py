@@ -966,6 +966,15 @@ def save_state_delta(
     # itself is ONE unioned count job over all frames, not one isEmpty job
     # per frame (11 driver round-trips -> 1).
     _pin_layout(root)
+    # a crashed consolidation attempt may have left delta-<batch_id> with a
+    # folded.json whose coverage the sink never committed; if THIS replay
+    # takes the plain-delta path (fold cadence can differ across restarts),
+    # the stale marker would make live_delta_batches wrongly exclude the
+    # still-live superseded dirs — clear it before any write (round-5
+    # ADVICE, low)
+    stale_marker = os.path.join(root, f"delta-{batch_id}", "folded.json")
+    if os.path.exists(stale_marker):
+        os.remove(stale_marker)
     present = [n for n in PERSISTED_FRAMES if n in deltas]
     if not present:
         return {}  # nothing persistable: skip the count job entirely

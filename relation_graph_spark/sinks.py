@@ -69,11 +69,20 @@ per-batch critical path. The entry points split the policy:
 Concurrency protocol (stream + out-of-band compactor on one sink root):
 
 - ONE compactor at a time: every entry point takes ``compaction.lock``
-  (atomic O_EXCL create, pid-stamped, dead-holder stealable). The inline
-  call skips its fold when the lock is held (pending batches just wait one
-  more cycle); the out-of-band call waits briefly. Same-host liveness
-  checks only — a shared-filesystem deploy swaps this file for the
-  catalog's optimistic snapshot commit (see iceberg_sink).
+  (locks.PidLock: atomic O_EXCL create, pid-stamped, holders re-stamp
+  between phases, steal only provably-dead holders by atomic rename,
+  release only if still ours). The inline call skips its fold when the
+  lock is held (pending batches just wait one more cycle); the out-of-band
+  call waits briefly.
+- The lock is same-host-advisory; CORRECTNESS against a double compactor
+  (a shared-filesystem deploy where pid probing lies about a holder on
+  another host) comes from the FENCED marker publish: the run list commits
+  by an atomic ``os.link`` to ``marker-v<next_gen>.json``, so two
+  compactors that started from the same marker race to the same version
+  and exactly one wins — the loser raises CompactionConflict, its
+  nonce-named run dir is unreferenced garbage, and nothing it did is
+  visible. This is the optimistic version-file commit of Iceberg's
+  HadoopTableOperations (the catalog swap-in at cluster scale).
 - Readers are lock-free: they see either the old marker or the new one
   (atomic rename). Because reads are LAZY (a plan may evaluate well after
   the marker was loaded), retired dirs are NOT deleted at publish time:
@@ -90,10 +99,19 @@ import os
 import shutil
 import tempfile
 import time
+import uuid
 from typing import Protocol
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from relation_graph_spark.locks import PidLock
+
+
+class CompactionConflict(RuntimeError):
+    """Another compactor committed the same marker version first. The loser
+    published NOTHING (its orphan run dir is swept later); pending work just
+    waits for the next maintenance cycle."""
 
 
 def to_ntriples_file(iri_edges: DataFrame, path: str) -> None:
@@ -258,11 +276,29 @@ class IdempotentParquetSink:
         return out
 
     # -- compaction marker --------------------------------------------------
+    def _marker_versions(self) -> list[tuple[int, str]]:
+        out = []
+        for f in os.listdir(self.root):
+            if f.startswith("marker-v") and f.endswith(".json"):
+                try:
+                    out.append((int(f[len("marker-v") : -len(".json")]), f))
+                except ValueError:
+                    pass
+        return sorted(out)
+
     def _compaction(self) -> dict:
-        """{'next_gen': int, 'runs': [{'gen': g, 'base': b}, ...],
+        """{'next_gen': int, 'runs': [{'gen': g, 'base': b, 'dir': d}, ...],
         'tombstones_folded_through': int}. Run i covers the committed
         batches in (runs[i-1].base, runs[i].base]; batch dirs above the
-        newest base are not yet folded."""
+        newest base are not yet folded.
+
+        The newest fenced ``marker-v<n>.json`` is the committed marker
+        (``compacted.json`` is a reader-convenience copy and the legacy
+        fallback for pre-fencing sinks)."""
+        vs = self._marker_versions()
+        if vs:
+            with open(os.path.join(self.root, vs[-1][1])) as fh:
+                return json.load(fh)
         path = os.path.join(self.root, "compacted.json")
         if os.path.exists(path):
             with open(path) as fh:
@@ -270,14 +306,49 @@ class IdempotentParquetSink:
         return {"next_gen": 0, "runs": [], "tombstones_folded_through": -1}
 
     def _publish_compaction(self, marker: dict) -> None:
+        """FENCED commit of the run list: ``os.link`` of the new marker to
+        ``marker-v<next_gen>.json`` is the atomic commit point — a second
+        compactor that started from the same marker (possible when a lying
+        pid probe lets the compaction.lock be stolen from a live holder on
+        another host) computes the SAME version and its link fails with
+        FileExistsError, surfacing as CompactionConflict instead of a silent
+        last-write-wins marker overwrite. Run dirs carry a per-attempt nonce
+        (see _fold_pending/_merge_newest_runs), so the loser's concurrent
+        _write_run landed in a dir nothing references — orphan garbage for
+        the next sweep, never corruption of the winner's published run.
+        This is the optimistic version-file commit Iceberg's
+        HadoopTableOperations uses for v<N>.metadata.json."""
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(marker, fh)
-        os.rename(tmp, os.path.join(self.root, "compacted.json"))
+        fence = os.path.join(self.root, f"marker-v{marker['next_gen']}.json")
+        try:
+            os.link(tmp, fence)
+        except FileExistsError:
+            os.remove(tmp)
+            raise CompactionConflict(
+                f"marker v{marker['next_gen']} was already committed by a "
+                "concurrent compactor — this attempt's work is discarded"
+            )
+        # reader convenience + legacy path; crash before this rename is fine
+        # (_compaction prefers the newest fence file). Written as an
+        # INDEPENDENT inode — renaming `tmp` would leave compacted.json
+        # hard-linked to the fence, so any in-place edit of one would
+        # silently corrupt the other.
+        os.remove(tmp)
+        fd2, tmp2 = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd2, "w") as fh:
+            json.dump(marker, fh)
+        os.rename(tmp2, os.path.join(self.root, "compacted.json"))
 
     def _last_base(self, marker: dict | None = None) -> int:
         marker = marker or self._compaction()
         return marker["runs"][-1]["base"] if marker["runs"] else -1
+
+    @staticmethod
+    def _run_dirname(r: dict) -> str:
+        # pre-fencing markers lack 'dir' (runs were named by gen alone)
+        return r.get("dir", f"gen={r['gen']}")
 
     # -- read ---------------------------------------------------------------
     def _tombstones(self) -> DataFrame | None:
@@ -302,7 +373,7 @@ class IdempotentParquetSink:
         last_base = self._last_base(marker)
         frames = []
         for r in marker["runs"]:
-            p = os.path.join(self.compacted_dir, f"gen={r['gen']}")
+            p = os.path.join(self.compacted_dir, self._run_dirname(r))
             if self._has_parquet(p):
                 frames.append(self.spark.read.parquet(p))
         paths = [
@@ -465,11 +536,43 @@ class IdempotentParquetSink:
         idempotent, so a crash between marker publish and retirement just
         leaves work for the next call."""
         marker = self._compaction()
-        live_gens = {r["gen"] for r in marker["runs"]}
+        live_dirs = {self._run_dirname(r) for r in marker["runs"]}
         if os.path.isdir(self.compacted_dir):
             for d in os.listdir(self.compacted_dir):
-                if d.startswith("gen=") and int(d[4:]) not in live_gens:
-                    shutil.rmtree(os.path.join(self.compacted_dir, d), ignore_errors=True)
+                if d.startswith("gen=") and d not in live_dirs:
+                    # generation guard: a CONCURRENT compactor's in-flight
+                    # attempt dir always carries the committed next_gen (it
+                    # read the newest marker before writing), so only dirs
+                    # of already-consumed generations are sweepable — an
+                    # unreferenced dir at next_gen may still be mid-write
+                    # (two-host lying-probe window; its publish decides it)
+                    try:
+                        g = int(d[len("gen=") :].split("-", 1)[0])
+                    except ValueError:
+                        continue
+                    if g < marker["next_gen"]:
+                        shutil.rmtree(
+                            os.path.join(self.compacted_dir, d), ignore_errors=True
+                        )
+        # superseded fence files (keep the newest: it IS the marker) and
+        # orphan tmp payloads of crashed publishes
+        vs = self._marker_versions()
+        for _v, f in vs[:-1]:
+            try:
+                os.remove(os.path.join(self.root, f))
+            except FileNotFoundError:
+                pass
+        for f in os.listdir(self.root):
+            if f.endswith(".tmp"):
+                try:
+                    # age gate: a fresh .tmp may be a live publisher's
+                    # payload mid-link (two-compactor window); only crash
+                    # debris ages past the lock's own staleness bound
+                    p = os.path.join(self.root, f)
+                    if time.time() - os.path.getmtime(p) > self.LOCK_STALE_SECONDS:
+                        os.remove(p)
+                except FileNotFoundError:
+                    pass
         last_base = self._last_base(marker)
         if os.path.isdir(self.data_dir):
             for d in os.listdir(self.data_dir):
@@ -487,7 +590,7 @@ class IdempotentParquetSink:
                 if b in folded_ids:
                     os.remove(os.path.join(self.manifest_dir, f"{b}.json"))
 
-    def _write_run(self, df: DataFrame, gen: int) -> None:
+    def _write_run(self, df: DataFrame, dirname: str) -> None:
         # schema-agnostic: keep whatever columns the batches carry (only
         # edge_hash + the bucket layout column are required by the protocol)
         cols = [c for c in df.columns if c != "bucket"] + ["bucket"]
@@ -496,7 +599,14 @@ class IdempotentParquetSink:
         # discipline matters most here
         df.select(*cols).repartition("bucket").write.mode("overwrite").partitionBy(
             "bucket"
-        ).parquet(os.path.join(self.compacted_dir, f"gen={gen}"))
+        ).parquet(os.path.join(self.compacted_dir, dirname))
+
+    @staticmethod
+    def _new_run(gen: int, base: int) -> dict:
+        # per-attempt nonce: two compactors racing to the same generation
+        # write DIFFERENT dirs, so the fence loser's bytes can never
+        # interleave with the winner's published run
+        return {"gen": gen, "base": base, "dir": f"gen={gen}-{uuid.uuid4().hex[:8]}"}
 
     def _fold_pending(self, marker: dict, pending: list[int]) -> dict:
         """MINOR fold: batch dirs above the newest run -> one new run. No
@@ -507,17 +617,18 @@ class IdempotentParquetSink:
             if self._has_parquet(p := os.path.join(self.data_dir, f"batch={b}"))
         ]
         gen = marker["next_gen"]
+        run = self._new_run(gen, max(pending))
         if paths:
             df = (
                 self.spark.read.option("basePath", self.data_dir)
                 .parquet(*paths)
                 .drop("batch")
             )
-            self._write_run(df, gen)
+            self._write_run(df, run["dir"])
         marker = {
             **marker,
             "next_gen": gen + 1,
-            "runs": marker["runs"] + [{"gen": gen, "base": max(pending)}],
+            "runs": marker["runs"] + [run],
         }
         # no sweep here: the retired batch dirs stay on disk until the NEXT
         # compaction entry call, so concurrent readers holding plans built
@@ -533,7 +644,7 @@ class IdempotentParquetSink:
         a, b = marker["runs"][-2], marker["runs"][-1]
         frames = []
         for r in (a, b):
-            p = os.path.join(self.compacted_dir, f"gen={r['gen']}")
+            p = os.path.join(self.compacted_dir, self._run_dirname(r))
             if self._has_parquet(p):
                 frames.append(self.spark.read.parquet(p))
         df = None
@@ -559,14 +670,15 @@ class IdempotentParquetSink:
                 df = df.join(F.broadcast(ts), on="edge_hash", how="left_anti")
             tomb_through = b["base"]
         gen = marker["next_gen"]
+        run = self._new_run(gen, b["base"])
         if df is not None:
-            self._write_run(df, gen)
+            self._write_run(df, run["dir"])
         if merging_oldest:
             self._fold_manifests(b["base"])
         marker = {
             **marker,
             "next_gen": gen + 1,
-            "runs": marker["runs"][:-2] + [{"gen": gen, "base": b["base"]}],
+            "runs": marker["runs"][:-2] + [run],
             "tombstones_folded_through": tomb_through,
         }
         # retired gen dirs / applied tombstone dirs / folded manifests are
@@ -622,50 +734,24 @@ class IdempotentParquetSink:
     def _lock_path(self) -> str:
         return os.path.join(self.root, "compaction.lock")
 
+    @property
+    def _lock(self) -> PidLock:
+        """Single-compactor mutual exclusion (see locks.PidLock: steal only
+        provably-dead holders, atomic-rename steal, release-if-ours). The
+        lock is an OPTIMIZATION — correctness against a double compactor
+        (e.g. a shared-filesystem deploy where the pid probe lies) comes
+        from the fenced marker publish (_publish_compaction)."""
+        lk = getattr(self, "_lock_obj", None)
+        if lk is None:
+            lk = PidLock(self._lock_path(), stale_seconds=self.LOCK_STALE_SECONDS)
+            self._lock_obj = lk
+        return lk
+
     def _acquire_lock(self, wait: float = 0.0) -> bool:
-        """Single-compactor mutual exclusion: atomic O_EXCL create of a
-        pid-stamped lock file. A lock whose holder process is gone (or that
-        outlived LOCK_STALE_SECONDS) is stolen. Same-host pid liveness only —
-        a shared-filesystem deploy replaces this with the catalog's
-        optimistic snapshot commit (IcebergEdgeSink)."""
-        deadline = time.monotonic() + wait
-        while True:
-            try:
-                fd = os.open(self._lock_path(), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as fh:
-                    json.dump({"pid": os.getpid(), "ts": time.time()}, fh)
-                return True
-            except FileExistsError:
-                pid, ts = -1, 0.0
-                try:
-                    with open(self._lock_path()) as fh:
-                        info = json.load(fh)
-                    pid, ts = int(info.get("pid", -1)), float(info.get("ts", 0.0))
-                except (OSError, ValueError):
-                    pass
-                dead = False
-                if pid > 0:
-                    try:
-                        os.kill(pid, 0)
-                    except ProcessLookupError:
-                        dead = True
-                    except PermissionError:
-                        pass
-                if dead or (ts and time.time() - ts > self.LOCK_STALE_SECONDS):
-                    try:
-                        os.remove(self._lock_path())
-                    except FileNotFoundError:
-                        pass
-                    continue
-                if time.monotonic() >= deadline:
-                    return False
-                time.sleep(0.05)
+        return self._lock.acquire(wait=wait)
 
     def _release_lock(self) -> None:
-        try:
-            os.remove(self._lock_path())
-        except FileNotFoundError:
-            pass
+        self._lock.release()
 
     # -- policy entry points ------------------------------------------------
     def maybe_compact(self, major: bool = False, lock_wait: float = 0.0) -> list[str]:
@@ -697,14 +783,17 @@ class IdempotentParquetSink:
                 actions.append(f"minor:{len(pending)}")
             if major:
                 while len(marker["runs"]) >= 2:
+                    self._lock.refresh()  # re-stamp between O(run-bytes) phases
                     nb = self._dir_bytes(
                         os.path.join(
-                            self.compacted_dir, f"gen={marker['runs'][-1]['gen']}"
+                            self.compacted_dir,
+                            self._run_dirname(marker["runs"][-1]),
                         )
                     )
                     pb = self._dir_bytes(
                         os.path.join(
-                            self.compacted_dir, f"gen={marker['runs'][-2]['gen']}"
+                            self.compacted_dir,
+                            self._run_dirname(marker["runs"][-2]),
                         )
                     )
                     if nb < self.merge_ratio * pb:
@@ -712,6 +801,11 @@ class IdempotentParquetSink:
                     marker = self._merge_newest_runs(marker)
                     actions.append("merge")
             return actions
+        except CompactionConflict:
+            # a concurrent compactor won the fence: our attempt's run dir is
+            # unreferenced garbage (swept next cycle); committed state is the
+            # winner's — safe to just wait for the next maintenance pass
+            return actions + ["conflict:detected"]
         finally:
             self._release_lock()
 

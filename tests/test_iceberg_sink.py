@@ -102,3 +102,31 @@ def test_iceberg_end_to_end(spark):
     sink.append(df.limit(0), 1, tombstones=tomb)
     assert {r.edge_hash for r in sink.read().collect()} == {"h2"}
     assert sink.committed_batches() == [0, 1]
+
+
+def test_transient_commit_log_error_propagates(spark, monkeypatch):
+    """Round-5 ADVICE (medium): a TRANSIENT failure while reading the
+    snapshot log must raise, not read as 'nothing committed' — silently
+    returning [] would re-append a committed batch (duplicates) and reset
+    the watermark (late rows admitted)."""
+    sink = IcebergEdgeSink(spark, "some_catalog.db.edges")
+    monkeypatch.setattr(IcebergEdgeSink, "_table_exists", lambda self: True)
+
+    def boom(_sql):
+        raise RuntimeError("transient catalog outage")
+
+    monkeypatch.setattr(sink.spark, "sql", boom)
+    with pytest.raises(RuntimeError, match="transient"):
+        sink._snapshot_summaries()
+    with pytest.raises(RuntimeError, match="transient"):
+        sink.committed_batches()
+
+
+def test_unconfigured_catalog_maps_to_not_found(spark):
+    """The not-found allowlist covers the unconfigured-catalog shape (falls
+    through to spark_catalog's REQUIRES_SINGLE_PART_NAMESPACE), while a
+    genuine missing table in the session catalog probes clean."""
+    assert not IcebergEdgeSink(spark, "nonexistent_catalog.db.edges")._table_exists()
+    assert not IcebergEdgeSink(
+        spark, "spark_catalog.default.rgs_nope"
+    )._table_exists()

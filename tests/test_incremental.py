@@ -126,3 +126,31 @@ def test_incremental_new_class_under_existing_subject(spark):
     rows2 = [[FX.T.AX_DECL_CLASS, 53], [FX.T.AX_SUBCLASS, 53, 51]]
     inc = _fold(spark, [rows1, rows2])
     assert (53, 61, 52) in inc
+
+
+def test_save_state_delta_clears_stale_folded_marker(spark, tmp_path):
+    """Round-5 ADVICE (low): a folded.json left by a crashed consolidation
+    must not survive a plain-delta replay of the same batch id — otherwise
+    live_delta_batches would exclude the still-live superseded dirs and
+    their state rows would be lost."""
+    import json
+    import os
+
+    from relation_graph_spark.incremental import (
+        folded_delta_ids,
+        save_state_delta,
+    )
+
+    root = str(tmp_path / "state")
+    ddir = os.path.join(root, "delta-3")
+    os.makedirs(ddir)
+    with open(os.path.join(ddir, "folded.json"), "w") as fh:
+        json.dump({"folded": [1, 2]}, fh)
+    assert folded_delta_ids(root, 3) == [1, 2]
+    df = spark.range(2).select(
+        F.col("id").cast("int").alias("s"),
+        F.lit(0).alias("p"),
+        F.col("id").cast("int").alias("o"),
+    )
+    save_state_delta({"subclasses": df}, root, 3)
+    assert folded_delta_ids(root, 3) == []
