@@ -367,6 +367,33 @@ def q_win_session_finalize_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     return job.result()
 
 
+def q_win_session_split_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-capped session closure (round-6: the never-idle-key cap as
+    a first-class batch operator): sessions assigned with a 30-min gap are
+    GREEDILY re-chunked into <= 10-min segments (windows.split_long_sessions
+    — chunk k anchors at the first event strictly after chunk k-1's
+    anchor + cap; chunks of under-cap sessions are the sessions themselves)
+    and the transitive closure runs per (user, chunk-anchor). This is the
+    exact chunking SessionClosureStreamJob applies under
+    ``max_session_seconds``; the oracle reproduces the greedy anchors with
+    a recursive CTE."""
+    from relation_graph_spark.closure import transitive_closure
+    from relation_graph_spark.streaming.windows import (
+        assign_sessions,
+        split_long_sessions,
+    )
+
+    edges = _session_edges(spark, sf_dir)
+    tagged = assign_sessions(
+        edges, "30 minutes", key_col="user_id", order_cols=["child", "parent"]
+    )
+    chunked = split_long_sessions(tagged, 600.0, key_col="user_id")
+    return transitive_closure(
+        chunked.select("user_id", "sess_start", "child", "parent"),
+        group_cols=["user_id", "sess_start"],
+    )
+
+
 # --------------------------------------------------------------------------
 # aggregation / join-plan block (Catalyst quality checks)
 # --------------------------------------------------------------------------
@@ -818,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_sliding": q_win_sliding,
         "win_session_user": q_win_session_user,
         "win_session_closure": q_win_session_closure,
+        "win_session_split_closure": q_win_session_split_closure,
         "win_session_finalize_stream": q_win_session_finalize_stream,
         "agg_pricing_summary": q_agg_pricing_summary,
         "agg_region_revenue": q_agg_region_revenue,
@@ -1272,6 +1300,66 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT user_id,
                  MIN(ts) OVER (PARTITION BY user_id, island) AS sess_start,
                  child, parent
+          FROM i
+        ),
+        tc(user_id, sess_start, child, parent) AS (
+          SELECT user_id, sess_start, child, parent FROM s
+          UNION
+          SELECT tc.user_id, tc.sess_start, tc.child, s.parent
+          FROM tc JOIN s ON tc.parent = s.child
+                        AND tc.user_id = s.user_id
+                        AND tc.sess_start = s.sess_start
+        )
+        SELECT user_id, sess_start, child, parent FROM tc
+    """
+
+    # duration-capped variant: greedy chunk anchors via a recursive CTE
+    # (anchor_0 = session start; anchor_{k+1} = first event strictly after
+    # anchor_k + cap), each row assigned to the greatest anchor <= its ts,
+    # then the same per-chunk recursive TC. Mirrors
+    # windows.split_long_sessions (cap = 10 minutes here).
+    q["win_session_split_closure"] = """
+        WITH RECURSIVE e AS (
+          SELECT CAST(user_id AS VARCHAR) AS user_id, ts,
+                 CAST(event_id % 300 + 100 AS BIGINT) AS child,
+                 CAST((event_id % 300) // 5 + 100 AS BIGINT) AS parent
+          FROM events
+          WHERE event_id % 300 + 100 <> (event_id % 300) // 5 + 100
+        ),
+        d AS (
+          SELECT user_id, ts, child, parent,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTES
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, child, parent)
+        ),
+        i AS (
+          SELECT user_id, ts, child, parent,
+                 SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, child, parent
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS island
+          FROM d
+        ),
+        anchors(user_id, island, anchor) AS (
+          SELECT user_id, island, MIN(ts) FROM i GROUP BY user_id, island
+          UNION
+          SELECT a.user_id, a.island,
+                 (SELECT MIN(i.ts) FROM i
+                   WHERE i.user_id = a.user_id AND i.island = a.island
+                     AND i.ts > a.anchor + INTERVAL 10 MINUTES)
+          FROM anchors a
+          WHERE EXISTS (SELECT 1 FROM i
+                   WHERE i.user_id = a.user_id AND i.island = a.island
+                     AND i.ts > a.anchor + INTERVAL 10 MINUTES)
+        ),
+        s AS (
+          SELECT DISTINCT i.user_id,
+                 (SELECT MAX(a.anchor) FROM anchors a
+                   WHERE a.user_id = i.user_id AND a.island = i.island
+                     AND a.anchor <= i.ts) AS sess_start,
+                 i.child, i.parent
           FROM i
         ),
         tc(user_id, sess_start, child, parent) AS (

@@ -204,15 +204,18 @@ def split_long_sessions(
     cross-batch lineage lesson applied within a job)."""
     from pyspark.sql import Window
 
-    ts_sec = F.col(ts_col).cast("double")
+    # all comparisons stay in the timestamp domain (works for TIMESTAMP and
+    # TIMESTAMP_NTZ sources alike, and avoids double-precision boundary
+    # skew at microsecond resolution)
+    ts = F.col(ts_col)
+    cap = F.make_dt_interval(secs=F.lit(float(max_seconds)))
     w = Window.partitionBy(key_col, "sess_start")
     done_frames = []
     cur = tagged
     for _round in range(max_rounds):
-        cb = F.min(ts_sec).over(w) + F.lit(float(max_seconds))
         cur = (
-            cur.withColumn("_cb", cb)
-            .withColumn("_over", F.max(ts_sec).over(w) > F.col("_cb"))
+            cur.withColumn("_cb", F.min(ts).over(w) + cap)
+            .withColumn("_over", F.max(ts).over(w) > F.col("_cb"))
             .localCheckpoint()
         )
         done_frames.append(cur.where(~F.col("_over")).drop("_cb", "_over"))
@@ -223,10 +226,10 @@ def split_long_sessions(
         # chunk = the time-prefix within the boundary (sess_start is
         # already its anchor); remainder re-anchors at its own min ts
         done_frames.append(
-            pending.where(ts_sec <= F.col("_cb")).drop("_cb", "_over")
+            pending.where(ts <= F.col("_cb")).drop("_cb", "_over")
         )
         cur = (
-            pending.where(ts_sec > F.col("_cb"))
+            pending.where(ts > F.col("_cb"))
             .withColumn("sess_start", F.min(ts_col).over(w))
             .drop("_cb", "_over")
         )
