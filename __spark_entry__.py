@@ -545,6 +545,34 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (round-6 curation op): documents
+    laid end-to-end per (source, doc_id%16 shard) in doc_id order, token
+    stream cut every 2048 whitespace tokens; per-doc chunk assignment +
+    offsets from one ordered-window cumulative sum. The shard keeps the
+    per-stream scan parallel at corpus scale (a per-source window alone
+    would funnel each source through one task)."""
+    from relation_graph_spark.ops.curation import pack_chunks
+
+    return pack_chunks(
+        _t(spark, sf_dir, "documents"), budget=2048, n_shards=16
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum hash sampling (round-6 curation op): keep
+    a doc iff md5(doc_id)'s 4-hex prefix falls below its language's rate
+    threshold — reproducible across engines/runs, quantized to 1/65536,
+    pure pushdown-friendly predicate (no shuffle, no RNG state)."""
+    from relation_graph_spark.ops.curation import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 0.5, "de": 0.3, "fr": 0.2, "zh": 0.1},
+        default_rate=0.05,
+    ).select("doc_id", "lang", "source")
+
+
 # --------------------------------------------------------------------------
 # similarity block
 # --------------------------------------------------------------------------
@@ -860,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "pack_chunks": q_pack_chunks,
+        "sample_stratified": q_sample_stratified,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_bucketed_topk": q_ann_bucketed_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1610,6 +1640,46 @@ def oracle_sql() -> dict[str, str]:
                md5(array_to_string(list_sort(list_distinct(
                  regexp_extract_all(lower(text), '[A-Za-z0-9]+'))), ' ')) AS fp_bag
         FROM documents
+    """
+
+    # concat-then-chunk packing: identical ordered cumulative sum per
+    # (source, doc_id%16) stream; integer chunk arithmetic on the absolute
+    # token offset (DuckDB // == Spark div on bigints)
+    q["pack_chunks"] = """
+        WITH d AS (
+          SELECT source, doc_id % 16 AS shard, doc_id,
+                 CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        o AS (
+          SELECT source, shard, doc_id, n_tok,
+                 CAST(SUM(n_tok) OVER (
+                   PARTITION BY source, shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) - n_tok AS BIGINT) AS begin_off
+          FROM d
+        )
+        SELECT source, shard, doc_id, n_tok, begin_off,
+               CAST(begin_off // 2048 AS BIGINT) AS first_chunk,
+               CAST(begin_off % 2048 AS BIGINT) AS chunk_off,
+               CAST((begin_off + n_tok - 1) // 2048 AS BIGINT) AS last_chunk
+        FROM o
+    """
+
+    # deterministic stratified sampling: the identical md5 4-hex prefix
+    # predicate (rates quantized to /65536: en 0.5 -> '8000', de 0.3 ->
+    # '4ccd', fr 0.2 -> '3333', zh 0.1 -> '199a', default 0.05 -> '0ccd')
+    q["sample_stratified"] = """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+              CASE lang
+                WHEN 'en' THEN '8000'
+                WHEN 'de' THEN '4ccd'
+                WHEN 'fr' THEN '3333'
+                WHEN 'zh' THEN '199a'
+                ELSE '0ccd'
+              END
     """
 
     _QVEC = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"

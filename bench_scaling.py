@@ -63,6 +63,52 @@ def worker(cpus: int, n_classes: int, n_props: int, n_some: int,
         out.agg(F.expr(f"bit_xor(xxhash64({', '.join(out.columns)}))")).collect()
         edges = n_some
         sec = time.time() - t0
+    elif op == "session":
+        # round-6 surface: gaps-and-islands session assignment + greedy
+        # duration-cap chunking + grouped per-chunk transitive closure —
+        # the batch form of SessionClosureStreamJob's per-batch work.
+        # n_some = total events; 12 events/user at 5-min spacing span 55
+        # min, gap 30 min -> ONE session/user, cap 30 min -> 2 chunks.
+        import pyspark.sql.functions as F
+
+        from relation_graph_spark.closure import transitive_closure
+        from relation_graph_spark.streaming.windows import (
+            assign_sessions,
+            split_long_sessions,
+        )
+
+        ev_per_user = 12
+        users = max(1, n_some // ev_per_user)
+        df = (
+            spark.range(0, users * ev_per_user, 1, 32)
+            .select(
+                (F.col("id") % users).alias("u"),
+                (F.col("id") / users).cast("long").alias("e"),
+            )
+            .select(
+                F.concat(F.lit("u"), F.col("u")).alias("user_id"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000)
+                    + F.col("e") * 300
+                    + (F.col("u") % 7) * 13
+                ).alias("ts"),
+                (F.col("u") * 100 + F.col("e")).alias("child"),
+                (F.col("u") * 100 + F.col("e") + 1).alias("parent"),
+            )
+            .localCheckpoint()
+        )
+        df.count()
+        t0 = time.time()
+        tagged = assign_sessions(
+            df, "30 minutes", key_col="user_id", order_cols=["child", "parent"]
+        )
+        chunked = split_long_sessions(tagged, 1800.0, key_col="user_id")
+        out = transitive_closure(
+            chunked.select("user_id", "sess_start", "child", "parent"),
+            group_cols=["user_id", "sess_start"],
+        )
+        edges = out.count()
+        sec = time.time() - t0
     else:  # minhash: CPU-per-byte-heavy operator over a synthetic corpus
         import pyspark.sql.functions as F
 
@@ -93,7 +139,8 @@ def worker(cpus: int, n_classes: int, n_props: int, n_some: int,
     spark.stop()
 
 
-def run_level(cpus: int, n_classes: int, n_props: int, n_some: int, repeats: int = 3) -> dict:
+def run_level(cpus: int, n_classes: int, n_props: int, n_some: int,
+              repeats: int = 3, op: str = "closure") -> dict:
     """Best of `repeats` runs (min wall time). The sandbox host is shared
     (load average 6-11 from neighbors), so a single run mixes our job with
     external contention; the minimum approximates uncontended performance
@@ -102,7 +149,7 @@ def run_level(cpus: int, n_classes: int, n_props: int, n_some: int, repeats: int
     for _ in range(repeats):
         cmd = [sys.executable, __file__, "--worker", "--cpus", str(cpus),
                "--classes", str(n_classes), "--props", str(n_props),
-               "--some", str(n_some)]
+               "--some", str(n_some), "--op", op]
         # pin the low-parallelism level to that many physical cores so the
         # JVM's GC/IO/codegen helper threads can't borrow the other cores
         # (verified: pinned local[8] = 68.3s vs unpinned 65.9s — honest
@@ -135,7 +182,8 @@ def main() -> None:
     ap.add_argument("--classes", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_CLASSES", "100000")))
     ap.add_argument("--props", type=int, default=16)
     ap.add_argument("--some", type=int, default=int(os.environ.get("SPARK_GRAFT_SCALE_SOME", "1000000")))
-    ap.add_argument("--op", choices=["closure", "minhash", "quality"], default="closure")
+    ap.add_argument("--op", choices=["closure", "minhash", "quality", "session"],
+                    default="closure")
     ap.add_argument("--master-spec", default=None,
                     help="e.g. local-cluster[8,4,6144] for real executor JVMs")
     args = ap.parse_args()
@@ -144,12 +192,12 @@ def main() -> None:
                op=args.op, master_spec=args.master_spec)
         return
 
-    lo = run_level(8, args.classes, args.props, args.some)
-    hi = run_level(32, args.classes, args.props, args.some)
+    lo = run_level(8, args.classes, args.props, args.some, op=args.op)
+    hi = run_level(32, args.classes, args.props, args.some, op=args.op)
     assert lo["edges"] == hi["edges"], "same input must give same output"
     efficiency = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4.0
     result = {
-        "metric": "materialized relation edges/sec scaling, local[8] -> local[32]",
+        "metric": f"{args.op} rows/sec scaling, local[8] -> local[32]",
         "input": {"n_classes": args.classes, "n_props": args.props, "n_some": args.some},
         "output_edges": hi["edges"],
         "local8": lo,
@@ -158,6 +206,10 @@ def main() -> None:
         "scaling_efficiency_N_to_4N": round(efficiency, 3),
     }
     print(json.dumps(result))
+    if args.op != "closure":
+        # only the headline closure campaign owns SCALING_LATEST.md;
+        # other-op campaigns are recorded by hand in BENCH/BASELINE.md
+        return
 
     md = f"""# BENCH/BASELINE.md — measured performance + scaling evidence
 
