@@ -18,6 +18,9 @@ Subcommands:
           reference's createStream routing (Main.scala:51-78)
   stream  incremental: watch an input dir, run the exactly-once micro-batch
           pipeline with checkpoint/resume
+  session watermark-gated session-closure stream over event parquet files
+          (user_id, ts, child, parent): emit-once per-session transitive
+          closure with optional --max-session-seconds duration cap
 
 Boolean options take explicit true/false values (the reference's BoolValue
 args, Config.scala:96-127), so defaults can be true (e.g.
@@ -90,6 +93,24 @@ def build_parser() -> argparse.ArgumentParser:
     # out-of-band sink maintenance (size-tiered merges off the stream's
     # critical path — the analog of scheduling Iceberg rewrite_data_files /
     # expire_snapshots from a maintenance job, iceberg_sink.maintenance_sql)
+    np = sub.add_parser("session")
+    np.add_argument("--input", required=True,
+                    help="event parquet files dir (user_id, ts, child, parent)")
+    np.add_argument("--work-dir", required=True,
+                    help="state + checkpoint + sink root")
+    np.add_argument("--gap", default="30 minutes",
+                    help="session inactivity gap (Spark interval string)")
+    np.add_argument("--delay-seconds", type=int, default=0,
+                    help="watermark delay for late rows")
+    np.add_argument("--max-session-seconds", type=float, default=None,
+                    help="duration cap: force-split never-idle sessions into "
+                         "greedy <= cap chunks (bounds open state per key)")
+    np.add_argument("--max-files-per-trigger", type=int, default=1)
+    np.add_argument("--master", default=None)
+    np.add_argument("--shuffle-partitions", type=int, default=None)
+    np.add_argument("--verbose", type=_parse_bool, default=False,
+                    metavar="true|false")
+
     mp = sub.add_parser("maintain")
     mp.add_argument("--sink", required=True, help="sink root dir")
     mp.add_argument("--told", default=None,
@@ -193,6 +214,32 @@ def main(argv: list[str] | None = None) -> int:
         f"rgs-{args.cmd}", master=args.master, shuffle_partitions=args.shuffle_partitions
     )
     spark.sparkContext.setLogLevel("INFO" if args.verbose else "ERROR")
+
+    if args.cmd == "session":
+        from relation_graph_spark.streaming.session_pipeline import (
+            SessionClosureStreamJob,
+        )
+
+        job = SessionClosureStreamJob(
+            spark,
+            args.input,
+            args.work_dir,
+            gap=args.gap,
+            delay_seconds=args.delay_seconds,
+            max_session_seconds=args.max_session_seconds,
+        )
+        job.run_available(max_files_per_trigger=args.max_files_per_trigger)
+        ms = job.metrics()
+        last = ms[-1] if ms else {}
+        print(
+            f"session stream: {last.get('n_sessions_finalized_total', 0)} "
+            f"sessions finalized "
+            f"({last.get('n_sessions_forced_split_total', 0)} by the "
+            f"duration cap), watermark {last.get('hwm_epoch')}"
+        )
+        if not preexisting:
+            spark.stop()
+        return 0
 
     if args.cmd == "maintain":
         import time

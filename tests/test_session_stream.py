@@ -381,3 +381,34 @@ def test_cap_equals_uncapped_when_under_limit(spark, tmp_path):
     plain.run_available()
     assert _result_set(capped) == _result_set(plain)
     assert capped.metrics()[-1]["n_sessions_forced_split_total"] == 0
+
+
+def test_cli_session_subcommand(spark, tmp_path):
+    """`relation-graph-spark session` drives SessionClosureStreamJob:
+    run-available over the files present, resume picks up a later file,
+    final emissions equal a direct library run; the duration cap flag
+    reaches the job."""
+    from relation_graph_spark import cli
+
+    in_dir = str(tmp_path / "in")
+    write_session_file(in_dir, "b0.parquet",
+                       [("a", 0, 1, 2), ("a", 5, 2, 3), ("b", 1, 4, 5)])
+    args = [
+        "session", "--input", in_dir, "--work-dir", str(tmp_path / "w"),
+        "--gap", "30 minutes", "--max-session-seconds", "7200",
+    ]
+    assert cli.main(args) == 0
+    # second file idles both sessions out; re-run resumes from checkpoint
+    write_session_file(in_dir, "b1.parquet", [("c", 500, 9, 9)])
+    assert cli.main(args) == 0
+
+    lib = SessionClosureStreamJob(
+        spark, in_dir, str(tmp_path / "lib"), gap="30 minutes",
+        max_session_seconds=7200.0,
+    )
+    lib.run_available()
+    cli_job = SessionClosureStreamJob(
+        spark, in_dir, str(tmp_path / "w"), gap="30 minutes",
+        max_session_seconds=7200.0,
+    )
+    assert _result_set(cli_job) == _result_set(lib) != set()
