@@ -1648,7 +1648,7 @@ def oracle_sql() -> dict[str, str]:
     q["pack_chunks"] = """
         WITH d AS (
           SELECT source, doc_id % 16 AS shard, doc_id,
-                 CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok
+                 CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
           FROM documents
         ),
         o AS (

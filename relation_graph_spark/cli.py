@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
     np.add_argument("--max-session-seconds", type=float, default=None,
                     help="duration cap: force-split never-idle sessions into "
                          "greedy <= cap chunks (bounds open state per key)")
+    np.add_argument("--max-split-rounds", type=int, default=64,
+                    help="convergence bound for the duration split: raise it "
+                         "when a bootstrap batch's longest session spans more "
+                         "than this many caps")
     np.add_argument("--max-files-per-trigger", type=int, default=1)
     np.add_argument("--master", default=None)
     np.add_argument("--shuffle-partitions", type=int, default=None)
@@ -227,6 +231,7 @@ def main(argv: list[str] | None = None) -> int:
             gap=args.gap,
             delay_seconds=args.delay_seconds,
             max_session_seconds=args.max_session_seconds,
+            max_split_rounds=args.max_split_rounds,
         )
         job.run_available(max_files_per_trigger=args.max_files_per_trigger)
         ms = job.metrics()

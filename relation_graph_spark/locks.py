@@ -83,7 +83,8 @@ class PidLock:
     # ---------------------------------------------------------------- steal
     def _try_steal(self, judged: dict | None) -> None:
         """Capture the lock file by atomic rename and verify it is the one
-        we judged stealable; restore on mismatch (a fresh holder's lock)."""
+        we judged stealable; restore anything else (a fresh holder's lock
+        acquired between our read and the rename, or a mid-write payload)."""
         grave = f"{self.path}.steal-{uuid.uuid4().hex}"
         try:
             os.rename(self.path, grave)
@@ -101,17 +102,32 @@ class PidLock:
             and got.get("ts") == judged.get("ts")
             and got.get("token") == judged.get("token")
         )
-        if judged is None or same:
-            os.remove(grave)
-            return
-        # mismatch: we yanked a LIVE lock acquired after our read — put it
-        # back if the slot is still empty
-        if not os.path.exists(self.path):
-            try:
-                os.rename(grave, self.path)
+        if not same:
+            # we captured something we did NOT judge. Re-judge the CAPTURE
+            # itself (rename preserves mtime): discard only if it too is
+            # provably dead or aged-out garbage — judged-None callers would
+            # otherwise yank a fresh holder's lock (or an acquirer's
+            # mid-write payload, whose open fd still targets this inode,
+            # so restoring it hands the lock back intact).
+            if got is not None:
+                alive = _pid_alive(int(got.get("pid", -1)))
+                stealable = alive is False
+            else:
+                try:
+                    age = time.time() - os.path.getmtime(grave)
+                except OSError:
+                    age = 0.0
+                stealable = age > self.stale_seconds
+            if not stealable:
+                # restore if the slot is still empty
+                if not os.path.exists(self.path):
+                    try:
+                        os.rename(grave, self.path)
+                        return
+                    except OSError:
+                        pass
+                os.remove(grave)
                 return
-            except OSError:
-                pass
         os.remove(grave)
 
     # -------------------------------------------------------------- acquire
@@ -141,14 +157,31 @@ class PidLock:
                 return False
             time.sleep(0.05)
 
-    def refresh(self) -> None:
-        """Re-stamp the held lock's ts (call between long phases)."""
+    def refresh(self) -> bool:
+        """Re-stamp the held lock's ts (call between long phases). Returns
+        False — and drops our claim — if the on-disk lock is no longer ours
+        (a contender legitimately stole it, e.g. our unprobeable pid aged
+        out): re-stamping then would clobber the thief's lock and our later
+        release() would delete it, yielding 2+ concurrent holders. Callers
+        must treat False as 'lock lost: abort before the next publish'.
+        (A steal landing between the ownership check and os.replace remains
+        — plain-file locks cannot close it; the fenced marker publish is
+        the correctness backstop there.)"""
         if self._token is None:
-            return
+            return False
+        info = self._read()
+        if (
+            info is None
+            or info.get("token") != self._token
+            or int(info.get("pid", -1)) != os.getpid()
+        ):
+            self._token = None
+            return False
         tmp = f"{self.path}.restamp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(self._payload(), fh)
         os.replace(tmp, self.path)
+        return True
 
     def release(self) -> None:
         info = self._read()

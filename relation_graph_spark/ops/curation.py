@@ -63,10 +63,13 @@ def pack_chunks(
     """
     from pyspark.sql.window import Window
 
+    # \S+ runs, matching ops/text.token_stats.n_ws_tokens exactly — a
+    # split-based count would add +1 per leading/trailing-whitespace side
+    # and count '' as one token, silently shifting every later offset
     n_tok = (
         token_count
         if token_count is not None
-        else F.size(F.split(F.col("text"), r"\s+"))
+        else F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
     ).cast("bigint")
     shard = (F.col(id_col) % F.lit(int(n_shards))).cast("bigint")
     parts = [*part_cols, "shard"]

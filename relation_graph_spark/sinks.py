@@ -105,6 +105,7 @@ from typing import Protocol
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from relation_graph_spark.fsutil import dir_parquet_bytes
 from relation_graph_spark.locks import PidLock
 
 
@@ -330,6 +331,26 @@ class IdempotentParquetSink:
                 f"marker v{marker['next_gen']} was already committed by a "
                 "concurrent compactor — this attempt's work is discarded"
             )
+        # post-link verification: superseded fence files are swept (below,
+        # on later entries), so a compactor stalled across a full
+        # publish+sweep cycle could link an already-RETIRED version without
+        # hitting FileExistsError. The sweep only removes v<n> when a newer
+        # fence already exists, so a successful stale link always has a
+        # newer version visible NOW — detect it, retract our fence, and
+        # surface the conflict instead of reporting a phantom win. (Readers
+        # were never at risk: _compaction takes the newest version.)
+        newest = self._marker_versions()[-1][0]
+        if newest > marker["next_gen"]:
+            os.remove(tmp)
+            try:
+                os.remove(fence)
+            except FileNotFoundError:
+                pass
+            raise CompactionConflict(
+                f"marker v{marker['next_gen']} is stale — v{newest} was "
+                "committed while this compactor was stalled; this attempt's "
+                "work is discarded"
+            )
         # reader convenience + legacy path; crash before this rename is fine
         # (_compaction prefers the newest fence file). Written as an
         # INDEPENDENT inode — renaming `tmp` would leave compacted.json
@@ -522,14 +543,7 @@ class IdempotentParquetSink:
         return df
 
     # -- compaction ---------------------------------------------------------
-    @staticmethod
-    def _dir_bytes(path: str) -> int:
-        return sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _d, files in os.walk(path)
-            for f in files
-            if f.endswith(".parquet")
-        )
+    _dir_bytes = staticmethod(dir_parquet_bytes)
 
     def _sweep_stale(self) -> None:
         """Delete everything the published marker/summary no longer needs —
@@ -706,18 +720,29 @@ class IdempotentParquetSink:
         if not folded and prev:
             return
         for m in folded:
-            for k in ("n_rows", "n_tombstones", "n_late_dropped"):
+            for k in (
+                "n_rows",
+                "n_tombstones",
+                "n_late_dropped",
+                "n_sessions_finalized",
+                "n_sessions_forced_split",
+            ):
                 if k in m:
                     agg[k] = agg.get(k, 0) + m[k]
         if folded:
             newest = folded[-1]
-            for k in (
+            carry = [
                 "batch_id",
                 "hwm_epoch",
                 "told_rows_by_source",
-                "closure_edges_total",
                 "state_bytes",
-            ):
+            ]
+            # every `*_total` key is a running total by convention
+            # (closure_edges_total, n_sessions_finalized_total, ...): carry
+            # the newest value so totals survive manifest folding for ANY
+            # job that appends to this sink, not just the closure pipeline
+            carry += [k for k in newest if k.endswith("_total")]
+            for k in carry:
                 if k in newest:
                     agg[k] = newest[k]
         agg["compacted"] = True
@@ -783,7 +808,11 @@ class IdempotentParquetSink:
                 actions.append(f"minor:{len(pending)}")
             if major:
                 while len(marker["runs"]) >= 2:
-                    self._lock.refresh()  # re-stamp between O(run-bytes) phases
+                    # re-stamp between O(run-bytes) phases; on a lost lock
+                    # stop merging — the fenced publish would catch a
+                    # double-compactor anyway, this just stops burning work
+                    if not self._lock.refresh():
+                        return actions
                     nb = self._dir_bytes(
                         os.path.join(
                             self.compacted_dir,

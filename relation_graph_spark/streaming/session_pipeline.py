@@ -118,6 +118,7 @@ class SessionClosureStreamJob:
         ts_col: str = "ts",
         sink: IdempotentParquetSink | None = None,
         max_session_seconds: float | None = None,
+        max_split_rounds: int = 64,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -136,6 +137,11 @@ class SessionClosureStreamJob:
         # cap interval. None = native session_window parity (unbounded for
         # a never-idle key).
         self.max_session_seconds = max_session_seconds
+        # split_long_sessions convergence bound: one chunk round per
+        # max_session_seconds of the longest session in a batch. A backlog
+        # bootstrap whose first batch spans a long never-idle session may
+        # need more than the default 64 (error message names this knob).
+        self.max_split_rounds = max_split_rounds
         self.sink = sink or IdempotentParquetSink(
             spark, os.path.join(work_dir, "sink")
         )
@@ -275,7 +281,11 @@ class SessionClosureStreamJob:
             )
 
             tagged = split_long_sessions(
-                tagged, self.max_session_seconds, ts_col=t, key_col=k
+                tagged,
+                self.max_session_seconds,
+                ts_col=t,
+                key_col=k,
+                max_rounds=self.max_split_rounds,
             )
         # Under the cap, a chunk of a STILL-OPEN session is ALSO final once
         # the watermark strictly passes its anchor + max: every row that

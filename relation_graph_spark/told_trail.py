@@ -48,6 +48,7 @@ batches just fold one snapshot later); the maintenance merge waits briefly.
 
 from __future__ import annotations
 
+import bisect
 import math
 import os
 import re
@@ -56,6 +57,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+from relation_graph_spark.fsutil import dir_parquet_bytes
 from relation_graph_spark.locks import PidLock
 
 _RANGE_RE = re.compile(r"^trail-(\d+)-(\d+)$")
@@ -101,9 +103,17 @@ class ToldTrail:
                 ranged.append((0, int(m.group(1)), d))
             elif m := _LEGACY_PLAIN_RE.match(d):
                 legacy_plain.append((int(m.group(1)), d))
+        # a legacy plain dir covers (newest EARLIER trail, id] — earlier
+        # trails include older plain dirs AND merged/range dirs below it.
+        # Anchoring only on prior plains would parse trail-15 next to a
+        # legacy trail-10-m2 as (0,15), wrongly superseding (and sweeping)
+        # the merged dir that holds batches 0-10.
+        ranged_his = sorted(h for _l, h, _d in ranged)
         prev = -1
         for hi, d in sorted(legacy_plain):
-            ranged.append((prev + 1, hi, d))
+            i = bisect.bisect_left(ranged_his, hi)
+            base = ranged_his[i - 1] if i else -1
+            ranged.append((max(prev, base) + 1, hi, d))
             prev = hi
         return sorted(ranged)
 
@@ -138,14 +148,7 @@ class ToldTrail:
                 shutil.rmtree(p, ignore_errors=True)
 
     # --------------------------------------------------------------- bytes
-    @staticmethod
-    def _dir_bytes(path: str) -> int:
-        return sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _d, files in os.walk(path)
-            for f in files
-            if f.endswith(".parquet")
-        )
+    _dir_bytes = staticmethod(dir_parquet_bytes)
 
     @staticmethod
     def _n_parts(src_bytes: int) -> int:
@@ -242,14 +245,22 @@ class ToldTrail:
                     os.path.join(self.root, da),
                     os.path.join(self.root, db),
                 )
-                if self._dir_bytes(pb) < self.merge_ratio * self._dir_bytes(pa):
+                pa_bytes, pb_bytes = self._dir_bytes(pa), self._dir_bytes(pb)
+                if pb_bytes < self.merge_ratio * pa_bytes:
                     return merged_any
-                self._lock.refresh()  # re-stamp between O(run-bytes) phases
+                # re-stamp between O(run-bytes) phases; False = the lock
+                # was legitimately stolen (our pid unprobeable + aged out)
+                # — abort BEFORE the next rename/delete, the trail has no
+                # fenced-publish backstop
+                if not self._lock.refresh():
+                    return merged_any
                 srcs = [p for p in (pa, pb) if _has_parquet(p)]
                 name = f"trail-{lo_a}-{hi_b}"
                 tmp = os.path.join(self.root, f".tmp-{name}")
                 if srcs:
-                    src_bytes = sum(self._dir_bytes(p) for p in srcs)
+                    # dirs without parquet contribute 0, so the cached pair
+                    # total is exact
+                    src_bytes = pa_bytes + pb_bytes
                     self._write_merged(
                         self.spark.read.parquet(*srcs), src_bytes, tmp
                     )

@@ -79,3 +79,22 @@ def test_stratified_sample_rate_one_keeps_all(spark):
     rows = [(i, "t", "en", "s") for i in range(100)]
     out = stratified_sample(_docs(spark, rows), {"en": 1.0})
     assert out.count() == 100
+
+
+def test_pack_chunks_token_count_matches_token_stats(spark):
+    """Round-6 review: the default budget unit is \\S+ runs (token_stats
+    semantics) — a split-based count would add phantom tokens for leading/
+    trailing whitespace and count '' as one token, shifting every later
+    offset in the stream."""
+    from relation_graph_spark.ops.text import token_stats
+
+    rows = [
+        (0, "  leading spaces", "en", "s"),
+        (16, "trailing newline\n", "en", "s"),
+        (32, "", "en", "s"),
+        (48, "a  b\t c ", "en", "s"),
+    ]
+    df = _docs(spark, rows)
+    ws = {r.doc_id: r.n_ws_tokens for r in token_stats(df).collect()}
+    packed = {r.doc_id: r.n_tok for r in pack_chunks(df, budget=10).collect()}
+    assert packed == ws == {0: 2, 16: 2, 32: 0, 48: 3}

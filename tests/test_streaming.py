@@ -1372,3 +1372,132 @@ def test_told_trail_lock_excludes_concurrent_maintenance(spark, tmp_path):
     os.utime(tmp, (0, 0))
     trail._sweep_stale()
     assert not os.path.isdir(tmp)
+
+
+def test_try_steal_restores_fresh_live_holder(tmp_path):
+    """Round-6 review: a contender that judged an unparseable/aged lock must
+    NOT discard what it captures if that capture is a fresh LIVE holder's
+    lock (acquired between the contender's read and its rename)."""
+    import json as _json
+    import time as _time
+
+    from relation_graph_spark.locks import PidLock
+
+    path = str(tmp_path / "l.lock")
+    live = {"pid": os.getpid(), "ts": _time.time(), "token": "live-holder"}
+    with open(path, "w") as fh:
+        _json.dump(live, fh)
+    # contender judged nothing parseable (judged=None) — e.g. its earlier
+    # read raced a partial write — and tries the steal NOW, against a
+    # fully-written live lock
+    PidLock(path, stale_seconds=0.1)._try_steal(None)
+    with open(path) as fh:
+        assert _json.load(fh) == live  # restored, not deleted
+
+    # whereas a provably-dead capture IS discarded even when judged=None
+    with open(path, "w") as fh:
+        _json.dump({"pid": 2**22 + 12345, "ts": 0.0, "token": "dead"}, fh)
+    PidLock(path, stale_seconds=0.1)._try_steal(None)
+    assert not os.path.exists(path)
+
+
+def test_refresh_detects_lost_lock(tmp_path):
+    """Round-6 review: a holder whose lock was legitimately stolen must get
+    False from refresh() (and must not clobber the thief's lock) instead of
+    silently re-stamping over it."""
+    import json as _json
+    import time as _time
+
+    from relation_graph_spark.locks import PidLock
+
+    path = str(tmp_path / "l.lock")
+    a = PidLock(path)
+    assert a.acquire()
+    assert a.refresh() is True  # still ours
+    thief = {"pid": os.getpid(), "ts": _time.time(), "token": "thief"}
+    with open(path, "w") as fh:
+        _json.dump(thief, fh)
+    assert a.refresh() is False
+    with open(path) as fh:
+        assert _json.load(fh) == thief  # untouched
+    a.release()
+    assert os.path.exists(path)  # release-if-ours also declined
+    os.remove(path)
+
+
+def test_legacy_trail_upgrade_preserves_merged_history(spark, tmp_path):
+    """Round-6 review (confirmed repro): a legacy layout with an old merged
+    dir (trail-10-m2, batches 0-10) next to a legacy plain dir (trail-15,
+    batches 11-15) must parse as DISJOINT ranges — resolving trail-15 as
+    (0,15) would supersede the merged dir and _sweep_stale would delete the
+    only copy of batches 0-10."""
+    from relation_graph_spark.told_trail import ToldTrail
+
+    root = str(tmp_path / "trail")
+    os.makedirs(root)
+
+    def _write(dirname, doc_ids):
+        spark.createDataFrame(
+            [(f"d{i}", "s") for i in doc_ids], "doc_id: string, source: string"
+        ).repartition(1).write.mode("overwrite").parquet(
+            os.path.join(root, dirname)
+        )
+
+    _write("trail-10-m2", range(0, 11))
+    _write("trail-15", range(11, 16))
+    trail = ToldTrail(spark, root)
+    assert {(lo, hi) for lo, hi, _d in trail._trails()} == {(0, 10), (11, 15)}
+    trail._sweep_stale()
+    assert os.path.isdir(os.path.join(root, "trail-10-m2"))
+    assert os.path.isdir(os.path.join(root, "trail-15"))
+    assert trail.read().count() == 16
+
+
+def test_publish_detects_stale_fence_version(spark, tmp_path):
+    """Round-6 review: superseded fence files are swept, so a compactor
+    stalled across a full publish+sweep cycle can os.link a RETIRED version
+    without FileExistsError. The post-link verification must turn that
+    phantom win into CompactionConflict and retract the stale fence."""
+    import json as _json
+
+    from relation_graph_spark.sinks import CompactionConflict, IdempotentParquetSink
+
+    sink = IdempotentParquetSink(spark, str(tmp_path / "sink"))
+    newest = {"next_gen": 7, "runs": [], "tombstones_folded_through": -1}
+    with open(os.path.join(sink.root, "marker-v7.json"), "w") as fh:
+        _json.dump(newest, fh)
+    stale = {"next_gen": 6, "runs": [], "tombstones_folded_through": -1}
+    try:
+        sink._publish_compaction(stale)
+        assert False, "stale publish must raise CompactionConflict"
+    except CompactionConflict:
+        pass
+    assert not os.path.exists(os.path.join(sink.root, "marker-v6.json"))
+    assert sink._compaction()["next_gen"] == 7  # readers unaffected
+
+
+def test_fold_manifests_carries_session_totals(spark, tmp_path):
+    """Round-6 review: manifest folding must carry *_total running totals
+    (and sum the per-batch session counters) for ANY job appending to the
+    sink — previously only the closure pipeline's keys survived a fold."""
+    from relation_graph_spark.sinks import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(spark, str(tmp_path / "sink"))
+    df = spark.createDataFrame([("h1", 1)], "edge_hash: string, v: int")
+    sink.append(df, 0, extra_metrics={
+        "n_sessions_finalized": 2, "n_sessions_finalized_total": 2,
+        "n_sessions_forced_split": 1, "n_sessions_forced_split_total": 1,
+    })
+    sink.append(df.withColumn("edge_hash", F.lit("h2")), 1, extra_metrics={
+        "n_sessions_finalized": 3, "n_sessions_finalized_total": 5,
+        "n_sessions_forced_split": 0, "n_sessions_forced_split_total": 1,
+    })
+    sink._fold_manifests(through=1)
+    agg = sink._manifest_summary()["agg"]
+    assert agg["n_sessions_finalized"] == 5  # summed counters
+    assert agg["n_sessions_forced_split"] == 1
+    assert agg["n_sessions_finalized_total"] == 5  # carried totals
+    assert agg["n_sessions_forced_split_total"] == 1
+    # the session job resumes its totals from the folded summary
+    folded = sink.metrics()[-1]
+    assert folded["n_sessions_finalized_total"] == 5
