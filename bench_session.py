@@ -55,6 +55,14 @@ def main():
         "open-state growth for the never-idle key (state rows ~ stream "
         "length instead of bounded)",
     )
+    ap.add_argument(
+        "--maintain-proc", action="store_true",
+        help="run the `maintain` CLI against the session sink from a second "
+        "process for the whole stream: major merges fold per-batch "
+        "manifests into the summary, so manifest count stays bounded on a "
+        "long stream and the session running totals must survive the folds",
+    )
+    ap.add_argument("--maintain-interval", type=float, default=5.0)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -153,9 +161,34 @@ def main():
         )
 
     job.process_batch = timed
+    maint_proc = None
+    if args.maintain_proc:
+        import subprocess
+
+        maint_proc = subprocess.Popen(
+            [
+                sys.executable, "-m", "relation_graph_spark.cli", "maintain",
+                "--sink", job.sink.root, "--rounds", "0",
+                "--interval-seconds", str(args.maintain_interval),
+                "--master", "local[4]", "--shuffle-partitions", "8",
+            ],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            env={**os.environ,
+                 "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+        )
     t0 = time.time()
     job.run_available(max_files_per_trigger=1)
     wall = round(time.time() - t0, 3)
+    if maint_proc is not None:
+        import signal
+
+        time.sleep(min(10.0, args.maintain_interval))
+        maint_proc.send_signal(signal.SIGINT)
+        try:
+            maint_proc.wait(timeout=60)
+        except Exception:
+            maint_proc.kill()
 
     # light correctness inside the soak: emit-once (no duplicate hash) and
     # the expected finalization count — (batches-1) periods of U sessions
