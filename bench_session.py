@@ -162,9 +162,12 @@ def main():
 
     job.process_batch = timed
     maint_proc = None
+    maintainer_ran = None
     if args.maintain_proc:
         import subprocess
 
+        here = os.path.dirname(os.path.abspath(__file__))
+        prev_pp = os.environ.get("PYTHONPATH")
         maint_proc = subprocess.Popen(
             [
                 sys.executable, "-m", "relation_graph_spark.cli", "maintain",
@@ -173,22 +176,34 @@ def main():
                 "--master", "local[4]", "--shuffle-partitions", "8",
             ],
             stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.STDOUT,
+            # PREPEND to any existing PYTHONPATH — replacing it could break
+            # the child's imports and the failure would be invisible
             env={**os.environ,
-                 "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+                 "PYTHONPATH": here + (os.pathsep + prev_pp if prev_pp else "")},
         )
-    t0 = time.time()
-    job.run_available(max_files_per_trigger=1)
-    wall = round(time.time() - t0, 3)
-    if maint_proc is not None:
-        import signal
+    try:
+        t0 = time.time()
+        job.run_available(max_files_per_trigger=1)
+        wall = round(time.time() - t0, 3)
+    finally:
+        # always reap the --rounds 0 child, even when the stream raises —
+        # otherwise it loops forever as an orphan
+        if maint_proc is not None:
+            import signal
 
-        time.sleep(min(10.0, args.maintain_interval))
-        maint_proc.send_signal(signal.SIGINT)
-        try:
-            maint_proc.wait(timeout=60)
-        except Exception:
-            maint_proc.kill()
+            maintainer_ran = maint_proc.poll() is None  # alive = it ran
+            time.sleep(min(10.0, args.maintain_interval))
+            maint_proc.send_signal(signal.SIGINT)
+            try:
+                maint_proc.wait(timeout=60)
+            except Exception:
+                maint_proc.kill()
+    if args.maintain_proc:
+        assert maintainer_ran, (
+            "the maintain process died before the stream finished — the "
+            "run's layout numbers would misrepresent a maintained stream"
+        )
 
     # light correctness inside the soak: emit-once (no duplicate hash) and
     # the expected finalization count — (batches-1) periods of U sessions
@@ -234,6 +249,7 @@ def main():
                 "users": args.users,
                 "events_per_session": args.events,
                 "max_session_seconds": cap,
+                "maintained": bool(args.maintain_proc),
                 "wall_sec": wall,
                 "per_batch_sec": per_batch,
                 "flat_ratio_last_over_3": ratio,

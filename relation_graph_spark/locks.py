@@ -55,6 +55,16 @@ def _pid_alive(pid: int) -> bool | None:
         return None
 
 
+def _pid_of(info: dict | None) -> int:
+    """Pid from an untrusted lock payload; -1 for anything non-numeric
+    (a parseable-but-wrongly-typed payload — e.g. {"pid": null} — must be
+    treated like garbage, not crash acquire()/refresh() mid-protocol)."""
+    try:
+        return int(info.get("pid", -1)) if info else -1
+    except (TypeError, ValueError):
+        return -1
+
+
 class PidLock:
     """Pid-stamped advisory file lock (atomic O_EXCL create)."""
 
@@ -110,7 +120,7 @@ class PidLock:
             # mid-write payload, whose open fd still targets this inode,
             # so restoring it hands the lock back intact).
             if got is not None:
-                alive = _pid_alive(int(got.get("pid", -1)))
+                alive = _pid_alive(_pid_of(got))
                 stealable = alive is False
             else:
                 try:
@@ -144,7 +154,7 @@ class PidLock:
             except FileExistsError:
                 pass
             info = self._read()
-            pid = int(info.get("pid", -1)) if info else -1
+            pid = _pid_of(info)
             alive = _pid_alive(pid) if pid > 0 else None
             if alive is False:
                 self._try_steal(info)  # provably dead: always stealable
@@ -170,10 +180,35 @@ class PidLock:
         if self._token is None:
             return False
         info = self._read()
+        if info is None:
+            # absent/unreadable is AMBIGUOUS, not proof of theft: a
+            # contender's _try_steal may hold the file in its graveyard
+            # right now and will RESTORE it (we are alive and our payload
+            # re-judges as live). Dropping our claim here would leave that
+            # restored live-pid lock permanently unowned — nobody refreshes
+            # it and acquire() never steals a live pid. Wait out the steal
+            # window, then reclaim the slot if it is genuinely empty.
+            for _ in range(5):
+                time.sleep(0.05)
+                info = self._read()
+                if info is not None:
+                    break
+            if info is None:
+                try:
+                    fd = os.open(
+                        self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    with os.fdopen(fd, "w") as fh:
+                        json.dump(self._payload(), fh)
+                    return True  # reclaimed the empty slot
+                except FileExistsError:
+                    info = self._read()
+                    if info is None:
+                        self._token = None
+                        return False
         if (
-            info is None
-            or info.get("token") != self._token
-            or int(info.get("pid", -1)) != os.getpid()
+            info.get("token") != self._token
+            or _pid_of(info) != os.getpid()
         ):
             self._token = None
             return False
@@ -188,7 +223,7 @@ class PidLock:
         if (
             info is not None
             and info.get("token") == self._token
-            and int(info.get("pid", -1)) == os.getpid()
+            and _pid_of(info) == os.getpid()
         ):
             try:
                 os.remove(self.path)

@@ -296,10 +296,20 @@ class IdempotentParquetSink:
         The newest fenced ``marker-v<n>.json`` is the committed marker
         (``compacted.json`` is a reader-convenience copy and the legacy
         fallback for pre-fencing sinks)."""
-        vs = self._marker_versions()
-        if vs:
-            with open(os.path.join(self.root, vs[-1][1])) as fh:
-                return json.load(fh)
+        # list-then-open retries: a fence can disappear between the listing
+        # and the open (the sweep removes superseded versions; the stale-win
+        # retraction removes a just-linked one) — but a fence is only ever
+        # removed when a NEWER one exists, so re-listing always makes
+        # progress toward the survivor
+        for _ in range(16):
+            vs = self._marker_versions()
+            if not vs:
+                break
+            try:
+                with open(os.path.join(self.root, vs[-1][1])) as fh:
+                    return json.load(fh)
+            except FileNotFoundError:
+                continue
         path = os.path.join(self.root, "compacted.json")
         if os.path.exists(path):
             with open(path) as fh:

@@ -214,6 +214,14 @@ class ToldTrail:
                 df.repartition(self._n_parts(src_bytes), "doc_id").write.mode(
                     "overwrite"
                 ).parquet(tmp)
+                # the write is the O(interval-bytes) phase — an unprobeable
+                # holder's lock can age out during it. Verify ownership
+                # BEFORE publishing/deleting (the trail has no fenced
+                # publish); on a lost lock discard the tmp dir and let the
+                # batches fold one snapshot later.
+                if not self._lock.refresh():
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    return False
                 os.rename(tmp, os.path.join(self.root, name))
             for b in to_fold:
                 shutil.rmtree(
@@ -264,6 +272,11 @@ class ToldTrail:
                     self._write_merged(
                         self.spark.read.parquet(*srcs), src_bytes, tmp
                     )
+                    # ownership may have aged out during the O(run-bytes)
+                    # write — verify before the publish rename
+                    if not self._lock.refresh():
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        return merged_any
                     os.rename(tmp, os.path.join(self.root, name))
                 for d in (da, db):
                     if d != name:

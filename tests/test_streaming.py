@@ -1501,3 +1501,43 @@ def test_fold_manifests_carries_session_totals(spark, tmp_path):
     # the session job resumes its totals from the folded summary
     folded = sink.metrics()[-1]
     assert folded["n_sessions_finalized_total"] == 5
+
+
+def test_lock_tolerates_wrongly_typed_payload(tmp_path):
+    """Round-6 review 2: a parseable payload with a non-numeric pid (e.g.
+    {"pid": null}) must behave like garbage — age-stealable, never a
+    TypeError out of acquire()/refresh() mid-protocol."""
+    import json as _json
+
+    from relation_graph_spark.locks import PidLock
+
+    path = str(tmp_path / "l.lock")
+    with open(path, "w") as fh:
+        _json.dump({"pid": None, "ts": 0.0, "token": "x"}, fh)
+    os.utime(path, (0, 0))
+    b = PidLock(path, stale_seconds=0.1)
+    assert b.acquire(wait=0.5)  # aged wrongly-typed lock: stolen, no crash
+    with open(path, "w") as fh:  # thief writes another wrongly-typed payload
+        _json.dump({"pid": None, "ts": 0.0, "token": "y"}, fh)
+    assert b.refresh() is False  # ownership lost, reported — not raised
+    os.remove(path)
+
+
+def test_refresh_reclaims_transiently_missing_lock(tmp_path):
+    """Round-6 review 2: an ABSENT lock file during refresh() is ambiguous
+    (a stealer may be holding it in its graveyard and will restore it); the
+    holder must wait out the window and reclaim the slot, not drop its
+    claim and orphan a restored live-pid lock forever."""
+    import json as _json
+
+    from relation_graph_spark.locks import PidLock
+
+    path = str(tmp_path / "l.lock")
+    a = PidLock(path)
+    assert a.acquire()
+    os.remove(path)  # transient absence (steal window / FS hiccup)
+    assert a.refresh() is True  # reclaimed
+    with open(path) as fh:
+        assert _json.load(fh)["pid"] == os.getpid()
+    a.release()
+    assert not os.path.exists(path)
