@@ -182,6 +182,17 @@ def gen_ontology_spark(
     n_hubs = max(1, int(n_classes * hub_pct))
     src = F.lit(f"gens_{n_classes}_{n_props}_{n_some}")
 
+    # scale-adaptive partitioning (guide §6): one partition per ~25k rows,
+    # capped at the default parallelism. Without this every spark.range
+    # defaults to defaultParallelism partitions and the 5-frame union carries
+    # 5x that many near-empty partitions — every downstream told-table scan
+    # then pays 160 task launches to read 140k rows. At 10^9 rows the cap
+    # keeps the build fully parallel.
+    par = spark.sparkContext.defaultParallelism
+
+    def _parts(n: int) -> int:
+        return max(1, min(par, (n + 24999) // 25000))
+
     def seq(df, tokens_col):
         return df.select(
             F.format_string("d%08d", F.monotonically_increasing_id()).alias("doc_id"),
@@ -190,27 +201,27 @@ def gen_ontology_spark(
             src.alias("source"),
         )
 
-    props = spark.range(n_props).select(
+    props = spark.range(0, n_props, 1, _parts(n_props)).select(
         F.array(F.lit(T.AX_DECL_PROP), (F.col("id") + base_p)).alias("t")
     )
-    prop_chain = spark.range(max(0, n_props - 1)).select(
+    prop_chain = spark.range(0, max(0, n_props - 1), 1, _parts(n_props)).select(
         F.array(
             F.lit(T.AX_SUBPROP), F.col("id") + base_p, F.col("id") + base_p + 1
         ).alias("t")
     )
-    cls = spark.range(n_classes).select(
+    cls = spark.range(0, n_classes, 1, _parts(n_classes)).select(
         F.array(F.lit(T.AX_DECL_CLASS), F.col("id") + base_c).alias("t")
     )
     h = F.pmod(F.col("id") * F.lit(2654435761), F.lit(2**32))
     parent = F.when(
         F.pmod(h, F.lit(hub_boost)) != 0, F.pmod(h, F.lit(n_hubs))
     ).otherwise(F.pmod(h, F.col("id")))
-    sc = spark.range(1, n_classes).select(
+    sc = spark.range(1, n_classes, 1, _parts(n_classes)).select(
         F.array(F.lit(T.AX_SUBCLASS), F.col("id") + base_c, parent + base_c).alias("t")
     )
     h1 = F.pmod(F.col("id") * F.lit(2654435761) + F.lit(0x9E3779B9), F.lit(2**32))
     h2 = F.pmod((F.col("id") + F.lit(0x5851F42D)) * F.lit(0x61C88647), F.lit(2**32))
-    some = spark.range(n_some).select(
+    some = spark.range(0, n_some, 1, _parts(n_some)).select(
         F.array(
             F.lit(T.AX_SOME),
             F.pmod(h1, F.lit(n_classes)) + base_c,

@@ -169,6 +169,8 @@ class IcebergEdgeSink:
         batch_id: int,
         tombstones: DataFrame | None = None,
         extra_metrics: dict | None = None,
+        n_rows_hint: int | None = None,
+        n_tomb_hint: int | None = None,
     ) -> dict:
         if self.is_committed(batch_id):
             ms = [m for m in self.metrics() if m.get("batch_id") == batch_id]
@@ -178,13 +180,13 @@ class IcebergEdgeSink:
         if tombstones is not None:
             tview = f"rgs_tomb_{batch_id}"
             tdf = tombstones.select("edge_hash").dropDuplicates()
-            n_tomb = tdf.count()
+            n_tomb = n_tomb_hint if n_tomb_hint is not None else tdf.count()
             if n_tomb:
                 tdf.createOrReplaceTempView(tview)
                 self.spark.sql(self.delete_sql(self.table, tview))
         manifest = {
             "batch_id": batch_id,
-            "n_rows": df.count(),
+            "n_rows": n_rows_hint if n_rows_hint is not None else df.count(),
             "n_tombstones": n_tomb,
             **(extra_metrics or {}),
         }
@@ -206,7 +208,9 @@ class IcebergEdgeSink:
         key: str = "edge_hash",
         tombstones: DataFrame | None = None,
         extra_metrics: dict | None = None,
+        n_rows_hint: int | None = None,
     ) -> dict:
+        # hint not honored here: the MERGE may drop duplicate keys
         return self.append(
             self.dedup_new(df, key=key),
             batch_id,

@@ -192,6 +192,9 @@ def initial_state(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, DataFr
         # derived carry-forward, seeded from the fixpoint's own frames
         "_sc_star": m["sc_star"],
         "_sp_star": m["sp_star"],
+        "_n_some": m["_n_some"],
+        "_n_def": m["_n_def"],
+        "_has_bot": m["_has_bot"],
     }
 
 
@@ -220,6 +223,10 @@ def _ensure_derived(state: dict[str, DataFrame], cfg: RGConfig) -> None:
         state["_n_sc_star"] = state["_sc_star"].count()
     if "_n_sp_star" not in state:
         state["_n_sp_star"] = state["_sp_star"].count()
+    if "_n_some" not in state:
+        state["_n_some"] = state["some"].count()
+    if "_n_def" not in state:
+        state["_n_def"] = state["def_some"].count()
     if "_max_token" not in state:
         state["_max_token"] = (
             state["_sc_star"]
@@ -240,17 +247,29 @@ def _ensure_derived(state: dict[str, DataFrame], cfg: RGConfig) -> None:
 
 
 def output_frames(state: dict[str, DataFrame], cfg: RGConfig) -> dict[str, DataFrame]:
-    """Reconstruct the frame dict assemble_output expects from a state."""
+    """Reconstruct the frame dict assemble_output expects from a state.
+
+    When the running `_has_bot` stat proves no (x, owl:Nothing) pair has
+    ever entered the closure, unsat is a STATICALLY-empty frame (a
+    where(false) filter, not a checkpoint) — Catalyst's
+    PropagateEmptyRelation then folds every downstream unsat anti-join out
+    of the per-batch plans, and the bottom-rule fixpoint is skipped
+    entirely. `_has_bot is None` (restart, legacy state) falls back to the
+    full computation."""
     from relation_graph_spark.materialize import compute_unsat
 
     sc_star = state.get("_sc_star")
     if sc_star is None:
         sc_star = _sc_star_of(state["sc_tc"], state["classes"])
+    if state.get("_has_bot") is False:
+        unsat = sc_star.where(F.lit(False)).select(F.col("sub").alias("c"))
+    else:
+        unsat = compute_unsat(sc_star, state["some"], cfg)
     return {
         "rel": state["rel"],
         "sc_closure": state["sc_tc"],
         "sc_star": sc_star,
-        "unsat": compute_unsat(sc_star, state["some"], cfg),
+        "unsat": unsat,
         "classes": state["classes"],
         "assertions": state["assertions"],
     }
@@ -260,9 +279,12 @@ def incremental_tc(
     old_tc: DataFrame,
     delta_edges: DataFrame,
     cfg: RGConfig,
+    old_tc_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """cfg-shaped wrapper over closure.incremental_tc (shared with the R4
-    feedback loop in materialize_edges)."""
+    feedback loop in materialize_edges). `old_tc_rows` (or an upper bound,
+    e.g. the running _n_sc_star stat) enables the driver fast path and the
+    count-free broadcast decision."""
     from relation_graph_spark.closure import incremental_tc as _itc
 
     return _itc(
@@ -270,6 +292,7 @@ def incremental_tc(
         delta_edges,
         max_iterations=cfg.max_iterations,
         broadcast_row_threshold=cfg.broadcast_row_threshold,
+        old_tc_rows=old_tc_rows,
     )
 
 
@@ -324,6 +347,17 @@ def apply_delta(
     feedback (AX_EQUIV_SOME) stays on this delta-sized path: R4 rounds run
     incrementally after the monotone fold (see module doc).
     """
+    import time as _time
+
+    _pt = bool(os.environ.get("RGS_PHASE_TIMING"))
+    _t0 = [_time.time()]
+
+    def _mk(label: str) -> None:
+        if _pt:
+            now = _time.time()
+            print(f"  [apply_delta] {label}: {now - _t0[0]:.2f}s")
+            _t0[0] = now
+
     # ------- monotone fold (everything except R4 feedback) --------------
     #
     # Every `X_new` below is a DISJOINT union: the delta is deduplicated at
@@ -352,16 +386,59 @@ def apply_delta(
         .localCheckpoint(eager=False)
     )
     sc_new = state["sc"].unionByName(d_sc)
-    sc_tc_new, d_tc = incremental_tc(state["sc_tc"], d_sc, cfg)
-
     d_sp = (
         delta_told["sp"].dropDuplicates()
         .join(state["sp"], on=["sub", "sup"], how="left_anti")
         .localCheckpoint(eager=False)
     )
+    d_some = (
+        delta_told["some"].dropDuplicates()
+        .join(state["some"], on=["s", "p", "f"], how="left_anti")
+        .localCheckpoint(eager=False)
+    )
+    d_def = (
+        delta_told["def_some"].dropDuplicates()
+        .join(state["def_some"], on=["f", "p", "o"], how="left_anti")
+        .localCheckpoint(eager=False)
+    )
+
+    # ONE combined stats job over all told-delta frames: per-frame row count
+    # (emptiness decisions, running stats) + max token (packability), where
+    # the per-frame emptiness probes and the separate max scan used to cost
+    # ~6 driver round trips per batch. The union also materializes every
+    # delta checkpoint in a single job with its branches running in parallel
+    # (guide §1.2: per-job fixed cost dominates at delta scale).
+    def _stat(df: DataFrame, name: str, mx: F.Column) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"), mx.cast("bigint").alias("mx")
+        ).select(F.lit(name).alias("f"), "n", "mx")
+
+    stats_df = (
+        _stat(d_classes, "classes", F.max("c"))
+        .unionByName(_stat(d_props, "props", F.max("p")))
+        .unionByName(_stat(d_sc, "sc", F.max(F.greatest("sub", "sup"))))
+        .unionByName(_stat(d_sp, "sp", F.max(F.greatest("sub", "sup"))))
+        .unionByName(_stat(d_some, "some", F.max(F.greatest("s", "p", "f"))))
+        .unionByName(_stat(d_def, "def_some", F.lit(None)))
+    )
+    stats = {r["f"]: (r["n"], r["mx"]) for r in stats_df.collect()}
+    n_d_props = stats["props"][0]
+    n_d_some = stats["some"][0]
+    n_d_def = stats["def_some"][0]
+    d_max = max(
+        (m for _n, m in stats.values() if m is not None), default=None
+    )
+    _mk("told anti-joins + stats")
+    # _n_sc_star (tc + reflexive + top rows) upper-bounds |sc_tc|: a valid
+    # hint for the driver fast path / broadcast decision in incremental_tc
+    sc_tc_new, d_tc = incremental_tc(
+        state["sc_tc"], d_sc, cfg, old_tc_rows=state["_n_sc_star"]
+    )
+    _mk("incremental_tc")
+
     sp_new = state["sp"].unionByName(d_sp)
-    sp_changed = not d_sp.isEmpty()
-    props_changed = not d_props.isEmpty()
+    sp_changed = stats["sp"][0] > 0
+    props_changed = n_d_props > 0
     if sp_changed:
         # property edges arrived: re-close the (tiny, vocabulary-sized)
         # property hierarchy
@@ -390,11 +467,7 @@ def apply_delta(
         n_sp_star = None
         d_sp_star = state["_sp_star"].where(F.lit(False))
 
-    d_some = (
-        delta_told["some"].dropDuplicates()
-        .join(state["some"], on=["s", "p", "f"], how="left_anti")
-        .localCheckpoint(eager=False)
-    )
+    n_some = state["_n_some"] + n_d_some
     some_new = state["some"].unionByName(d_some)
 
     # delta closure pairs incl. reflexive/top pairs of newly-seen classes.
@@ -412,33 +485,33 @@ def apply_delta(
         )
         .localCheckpoint(eager=False)
     )
-    n_d_star = d_star.count()
+    # one job: delta-closure size + owl:Nothing detection (feeds _has_bot)
+    _dr = d_star.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("sup") == T.BOT, 1).otherwise(0)).alias("bot"),
+    ).collect()[0]
+    n_d_star = _dr["n"]
+    bot_new = int(_dr["bot"] or 0)
+    _mk("sp/some/d_star fold")
     sc_star_new = state["_sc_star"].unionByName(d_star).localCheckpoint(eager=False)
 
     thr = cfg.broadcast_row_threshold
     # running side stats: broadcast decision + packability without a
     # per-batch O(closure) count/max scan
     n_sp_old = state["_n_sp_star"]
-    n_sp_new = n_sp_star if n_sp_star is not None else (
-        n_sp_old + (d_props.count() if props_changed else 0)
-    )
+    n_sp_new = n_sp_star if n_sp_star is not None else (n_sp_old + n_d_props)
     n_sides = state["_n_sc_star"] + n_d_star + n_sp_new
     sides_small = thr > 0 and n_sides <= thr
-    d_max = (
-        d_sc.select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
-        .unionByName(d_sp.select(F.greatest(F.max("sub"), F.max("sup")).alias("m")))
-        .unionByName(
-            d_some.select(F.greatest(F.max("s"), F.max("p"), F.max("f")).alias("m"))
-        )
-        .unionByName(d_classes.select(F.max("c").alias("m")))
-        .unionByName(d_props.select(F.max("p").alias("m")))
-        .agg(F.max("m"))
-        .collect()[0][0]
-    )
     max_tok = max(state["_max_token"] or -1, d_max if d_max is not None else -1)
     if max_tok < 0:
         max_tok = None
-    kw = {"sides_broadcast": sides_small, "max_token": max_tok or (1 << 40)}
+    kw = {
+        "sides_broadcast": sides_small,
+        "max_token": max_tok or (1 << 40),
+        # fused R3 below the crossover: at delta scale the staged plan's
+        # intermediate dedups + checkpoints cost more jobs than they save
+        "staged": n_some > cfg.incremental_feedback_threshold,
+    }
 
     passes = []
     if n_d_star > 0:
@@ -449,7 +522,7 @@ def apply_delta(
         passes.append(
             derive_relations(sc_star_new, some_new, sp_star_new, thr, filler_star=d_star, **kw)
         )
-    if not d_some.isEmpty():
+    if n_d_some > 0:
         # >=1 new told existential
         passes.append(derive_relations(sc_star_new, d_some, sp_star_new, thr, **kw))
     if sp_changed:
@@ -461,8 +534,10 @@ def apply_delta(
     rel_delta = passes[0]
     for p in passes[1:]:
         rel_delta = rel_delta.unionByName(p)
+    _mk("stats+derive plan")
     rel_paths: list[str] | None = state.get("_rel_paths")  # type: ignore[assignment]
     rel_delta = _anti_join_rel_history(rel_delta, state, rel_paths)
+    _mk("rel history anti-join")
 
     # ------- R4 equivalence feedback, delta-sized -----------------------
     # sc facts derived from rel x def_some re-enter R1/R3 (reference
@@ -472,17 +547,13 @@ def apply_delta(
     # one broadcast-join scan of the accumulated rel to activate it against
     # history. Each round: new sc facts -> incremental TC -> delta-restricted
     # R3 -> new rel rows -> new candidates, until dry.
-    d_def = (
-        delta_told["def_some"].dropDuplicates()
-        .join(state["def_some"], on=["f", "p", "o"], how="left_anti")
-        .localCheckpoint(eager=False)
-    )
     def_new = state["def_some"].unionByName(d_def)
+    n_def = state["_n_def"] + n_d_def
     d_sc_feedback = d_sc.where(F.lit(False))
     d_tc_all = d_tc
     d_star_all = d_star
     n_star_total = n_d_star
-    if not (state["def_some"].isEmpty() and d_def.isEmpty()):
+    if n_def > 0:
         def_b = F.broadcast(def_new.dropDuplicates())
 
         def _fire(rel_rows: DataFrame, defs) -> DataFrame:
@@ -504,7 +575,7 @@ def apply_delta(
             )
 
         cand = _fire(rel_delta, def_b)
-        if not d_def.isEmpty():
+        if n_d_def > 0:
             # late definition: one-time activation against committed history
             # (broadcast join over the bucketed rel scan — no shuffle)
             cand = cand.unionByName(
@@ -518,16 +589,26 @@ def apply_delta(
                 break
             d_sc_feedback = d_sc_feedback.unionByName(new_sc_r)
             sc_new = sc_new.unionByName(new_sc_r)
-            sc_tc_new, d_tc_r = incremental_tc(sc_tc_new, new_sc_r, cfg)
+            sc_tc_new, d_tc_r = incremental_tc(
+                sc_tc_new,
+                new_sc_r,
+                cfg,
+                old_tc_rows=state["_n_sc_star"] + n_star_total,
+            )
             d_tc_all = d_tc_all.unionByName(d_tc_r).localCheckpoint(eager=False)
             # classes are fixed during feedback, so the closure delta minus
             # self/TOP pairs is disjoint from sc_star — plain union
             d_star_r = d_tc_r.where(
                 (F.col("sub") != F.col("sup")) & (F.col("sup") != T.TOP)
             ).localCheckpoint(eager=False)
-            if d_star_r.isEmpty():
+            _drr = d_star_r.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("sup") == T.BOT, 1).otherwise(0)).alias("bot"),
+            ).collect()[0]
+            n_star_r = _drr["n"]
+            if n_star_r == 0:
                 break  # facts were already entailed; no new rel can arise
-            n_star_r = d_star_r.count()
+            bot_new += int(_drr["bot"] or 0)
             n_star_total += n_star_r
             n_sides += n_star_r
             kw["sides_broadcast"] = thr > 0 and n_sides <= thr
@@ -552,6 +633,7 @@ def apply_delta(
                 f"streaming R4 feedback did not converge in {cfg.max_iterations} rounds"
             )
 
+    _mk("R4 feedback")
     rel_new = state["rel"].unionByName(rel_delta)
 
     d_assertions = (
@@ -575,6 +657,12 @@ def apply_delta(
         "_sp_star": sp_star_new,
         "_n_sc_star": state["_n_sc_star"] + n_star_total,
         "_n_sp_star": n_sp_new,
+        "_n_some": n_some,
+        "_n_def": n_def,
+        # True once any (x, owl:Nothing) closure pair is seen; False only
+        # when provably never seen; None = unknown (restart) -> callers
+        # fall back to computing unsat
+        "_has_bot": True if bot_new > 0 else state.get("_has_bot"),
         "_max_token": max_tok,
     }
     if rel_paths:
@@ -642,10 +730,19 @@ def assemble_delta(
     from relation_graph_spark.materialize import _not_builtin
 
     frames = output_frames(state_new, cfg)
-    unsat_new = frames["unsat"].localCheckpoint(eager=False)
+    if state_new.get("_has_bot") is False:
+        # no (x, owl:Nothing) pair has ever entered the closure: unsat is a
+        # statically-empty frame (see output_frames) and unsat growth is
+        # impossible — zero jobs here, and Catalyst folds the anti-joins
+        # below away entirely
+        unsat_new = frames["unsat"]
+        unsat_delta = unsat_new
+        grew_unsat = False
+    else:
+        unsat_new = frames["unsat"].localCheckpoint(eager=False)
+        unsat_delta = unsat_new.join(prev_unsat, on="c", how="left_anti").localCheckpoint(eager=False)
+        grew_unsat = not unsat_delta.isEmpty()
     unsat_b = F.broadcast(unsat_new)
-    unsat_delta = unsat_new.join(prev_unsat, on="c", how="left_anti").localCheckpoint(eager=False)
-    grew_unsat = not unsat_delta.isEmpty()
     ud_b = F.broadcast(unsat_delta)
 
     def _spo(df, s, p_lit, o):
@@ -938,22 +1035,45 @@ def _pin_layout(root: str) -> None:
         _json.dump({"rel_buckets": REL_BUCKETS}, fh)
 
 
+def _parallel_writes(jobs: list) -> None:
+    """Run independent frame-write thunks concurrently (guide §2.6: actions
+    are only sequential because the driver calls them sequentially; a small
+    pool lets each tiny write job back-fill the executors the previous one
+    leaves idle). Frame writes here target DISJOINT dirs, so ordering is
+    irrelevant; any failure propagates."""
+    if len(jobs) <= 1:
+        for j in jobs:
+            j()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as pool:
+        for f in [pool.submit(j) for j in jobs]:
+            f.result()
+
+
 def save_state_snapshot(
     state: dict[str, DataFrame], root: str, batch_id: int
 ) -> dict[str, list[str]]:
     """Persist all frames (told + derived closures); rel is written
     hash-bucketed (see REL_BUCKETS). Returns {frame: [path]} for
-    repoint_state and subsequent pruned history reads."""
+    repoint_state and subsequent pruned history reads. The per-frame writes
+    are independent jobs over disjoint dirs and run from a small thread
+    pool (guide §2.6)."""
     _pin_layout(root)
     paths: dict[str, list[str]] = {}
+    jobs = []
     for name in PERSISTED_FRAMES:
         key = DERIVED_FRAMES.get(name, name)
         path = os.path.join(root, f"snap-{batch_id}", name)
         if name == "rel":
-            _write_rel_bucketed(state[name], path)
+            jobs.append(lambda df=state[name], p=path: _write_rel_bucketed(df, p))
         else:
-            state[key].write.mode("overwrite").parquet(path)
+            jobs.append(
+                lambda df=state[key], p=path: df.write.mode("overwrite").parquet(p)
+            )
         paths[name] = [path]
+    _parallel_writes(jobs)
     return paths
 
 
@@ -988,19 +1108,28 @@ def save_state_delta(
         counts_df = part if counts_df is None else counts_df.unionByName(part)
     nonempty = {r["f"] for r in counts_df.collect() if r["n"] > 0}
     written: dict[str, str] = {}
+    jobs = []
     for name in present:
         if name in nonempty:
             path = os.path.join(root, f"delta-{batch_id}", name)
             if name == "rel":
-                _write_rel_bucketed(deltas[name], path)
+                jobs.append(
+                    lambda df=deltas[name], p=path: _write_rel_bucketed(df, p)
+                )
             else:
                 # deltas are delta-sized by contract: ONE file per frame
                 # per delta (repartition keeps the upstream compute
                 # parallel; only the final write is single-task). File
                 # count per delta dir is thereby bounded by frame count,
                 # not by shuffle parallelism x row count.
-                deltas[name].repartition(1).write.mode("overwrite").parquet(path)
+                jobs.append(
+                    lambda df=deltas[name], p=path: df.repartition(1)
+                    .write.mode("overwrite")
+                    .parquet(p)
+                )
             written[name] = path
+    # independent writes to disjoint dirs — overlap them (guide §2.6)
+    _parallel_writes(jobs)
     return written
 
 

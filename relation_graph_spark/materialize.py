@@ -118,6 +118,7 @@ def derive_relations(
     n_salts: int = 16,
     sides_broadcast: bool | None = None,
     max_token: int | None = None,
+    staged: bool = True,
 ) -> DataFrame:
     """R3: one declarative join chain; Catalyst plans the physical strategy.
 
@@ -139,6 +140,16 @@ def derive_relations(
     incremental engine uses to restrict a derivation pass to delta closure
     pairs on one side only.
 
+    staged=False fuses the three expansions into one join chain with a
+    single final distinct — no intermediate dedups or checkpoints. The
+    staged plan wins when the intermediates are large (the 1.7x measurement
+    above); below the cost crossover (delta-sized incremental passes, tiny
+    told sets) the ~6 extra jobs of the staged plan dominate the work they
+    save, so the streaming engine and small-input callers pass staged=False
+    (guide §1.2: fixed per-job cost is part of the algorithm's cost model).
+    Result is identical either way — the stage distincts only dedup
+    intermediates the final distinct removes anyway.
+
     Skew: below broadcast_row_threshold the hierarchy sides broadcast, so
     the fact table never shuffles by a (potentially hub-skewed) key —
     broadcast hash joins are skew-immune by construction. Above it each
@@ -147,34 +158,46 @@ def derive_relations(
     across n_salts tasks, the rest join plain.
     """
 
-    def _side(df: DataFrame) -> tuple[DataFrame, bool]:
+    def _side(df: DataFrame) -> tuple[DataFrame, DataFrame, bool]:
         # sides_broadcast short-circuits the per-side count jobs when the
         # caller already knows the sizes (the incremental engine measures
         # its state once per batch, not once per derivation pass)
         if sides_broadcast is not None:
-            return (F.broadcast(df), True) if sides_broadcast else (df, False)
+            return df, (F.broadcast(df) if sides_broadcast else df), sides_broadcast
+        # checkpoint before counting: the count job materializes the side
+        # once and the broadcast build / max-token scan / join stages below
+        # all reuse it, instead of each re-running the side's closure-union
+        # plan (a repeated-subtree recompute the exist-rel profile showed)
+        df = df.localCheckpoint(eager=False)
         if broadcast_row_threshold > 0 and df.count() <= broadcast_row_threshold:
-            return F.broadcast(df), True
-        return df, False
+            return df, F.broadcast(df), True
+        return df, df, False
 
     sub_plain = sc_star if subject_star is None else subject_star
-    sub_side, sub_bcast = _side(sub_plain)
+    sub_plain, sub_side, sub_bcast = _side(sub_plain)
     if filler_star is None and subject_star is None:
         fill_plain, fill_side, fill_bcast = sub_plain, sub_side, sub_bcast
     else:
         fill_plain = sc_star if filler_star is None else filler_star
-        fill_side, fill_bcast = _side(fill_plain)
-    prop_plain = sp_star
-    prop_side, prop_bcast = _side(prop_plain)
+        fill_plain, fill_side, fill_bcast = _side(fill_plain)
+    prop_plain, prop_side, prop_bcast = _side(sp_star)
 
     from relation_graph_spark.skew import hot_key_salted_join
 
     # token-packing eligibility: one cheap max() scan over the closure sides
-    # (skipped when the caller hands in a pre-measured max_token)
+    # (skipped when the caller hands in a pre-measured max_token). Reuses
+    # the checkpointed side frames where they alias sc_star/sp_star.
     if max_token is None:
+        sc_scan = (
+            sub_plain
+            if subject_star is None
+            else (fill_plain if filler_star is None else sc_star)
+        )
         max_token = (
-            sc_star.select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
-            .unionByName(sp_star.select(F.greatest(F.max("sub"), F.max("sup")).alias("m")))
+            sc_scan.select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
+            .unionByName(
+                prop_plain.select(F.greatest(F.max("sub"), F.max("sup")).alias("m"))
+            )
             .unionByName(
                 some.select(
                     F.greatest(F.max("s"), F.max("p"), F.max("f")).alias("m")
@@ -196,7 +219,10 @@ def derive_relations(
         j1 = hot_key_salted_join(
             some, sub_plain, "s", "sup", n_salts, hot_key_threshold
         ).select(F.col("sub").alias("x"), F.col("p").alias("q"), F.col("f"))
-    s1 = j1.transform(lambda d: _distinct3(d, "x", "q", "f", packable)).localCheckpoint(eager=False)
+    if staged:
+        s1 = j1.transform(lambda d: _distinct3(d, "x", "q", "f", packable)).localCheckpoint(eager=False)
+    else:
+        s1 = j1
 
     # o is any superclass (refl.) of the told filler
     if fill_bcast:
@@ -207,7 +233,10 @@ def derive_relations(
         j2 = hot_key_salted_join(
             s1, fill_plain, "f", "sub", n_salts, hot_key_threshold
         ).select("x", "q", F.col("sup").alias("o"))
-    s2 = j2.transform(lambda d: _distinct3(d, "x", "q", "o", packable)).localCheckpoint(eager=False)
+    if staged:
+        s2 = j2.transform(lambda d: _distinct3(d, "x", "q", "o", packable)).localCheckpoint(eager=False)
+    else:
+        s2 = j2
 
     # p is any superproperty (refl.) of the told property — highest average
     # fan-out, so expanded last over already-deduped rows. Stage boundaries
@@ -250,13 +279,21 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
 
     some = told["some"].dropDuplicates().localCheckpoint(eager=False)
     def_some = told["def_some"].dropDuplicates().localCheckpoint(eager=False)
-    has_feedback = not def_some.isEmpty()
+    n_def = def_some.count()
+    has_feedback = n_def > 0
 
     thr = cfg.broadcast_row_threshold
+    # one count serves both cost-based decisions below: staged-vs-fused R3
+    # (intermediate dedups only pay off when the told set is large) and the
+    # incremental-vs-full R4 rounds
+    n_some = some.count()
+    staged = n_some > cfg.incremental_feedback_threshold
     sc = told["sc"].dropDuplicates().localCheckpoint(eager=False)
     # round 0: full class closure + full R3
     sc_tc, sc_star = _sc_star(sc, classes, cfg)
-    rel = derive_relations(sc_star, some, sp_star, thr).localCheckpoint(eager=False)
+    rel = derive_relations(sc_star, some, sp_star, thr, staged=staged).localCheckpoint(
+        eager=False
+    )
 
     if has_feedback:
         # R4 feedback rounds are INCREMENTAL: each round extends the closure
@@ -269,7 +306,7 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
         # dominates) rounds fall back to the plain full recompute.
         from relation_graph_spark.closure import incremental_tc
 
-        incremental_rounds = some.count() > cfg.incremental_feedback_threshold
+        incremental_rounds = n_some > cfg.incremental_feedback_threshold
 
         def _r4_new_sc(rel_df, sc_df):
             # x subClassOf F whenever x satisfies F's definition (p some y)
@@ -294,9 +331,9 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
             sc = sc.unionByName(new_sc).localCheckpoint(eager=False)
             if not incremental_rounds:
                 sc_tc, sc_star = _sc_star(sc, classes, cfg)
-                rel = derive_relations(sc_star, some, sp_star, thr).localCheckpoint(
-                    eager=False
-                )
+                rel = derive_relations(
+                    sc_star, some, sp_star, thr, staged=staged
+                ).localCheckpoint(eager=False)
                 continue
             sc_tc, d_tc = incremental_tc(
                 sc_tc, new_sc, max_iterations=cfg.max_iterations,
@@ -312,9 +349,11 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
                 continue  # told edge was already entailed; rel unchanged
             sc_star = sc_star.unionByName(d_star).localCheckpoint(eager=False)
             rel_d = derive_relations(
-                sc_star, some, sp_star, thr, subject_star=d_star
+                sc_star, some, sp_star, thr, subject_star=d_star, staged=staged
             ).unionByName(
-                derive_relations(sc_star, some, sp_star, thr, filler_star=d_star)
+                derive_relations(
+                    sc_star, some, sp_star, thr, filler_star=d_star, staged=staged
+                )
             )
             rel = rel.unionByName(rel_d.dropDuplicates()).localCheckpoint(eager=False)
             rel_dirty = True
@@ -344,6 +383,13 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
         # told subclass edges including R4-derived feedback facts — the
         # incremental engine's state seed
         "sc_final": sc,
+        # scalar stats carried to the incremental engine (avoid re-counts)
+        "_n_some": n_some,
+        "_n_def": n_def,
+        # unsat is empty iff no (x, owl:Nothing) pair is in the closure (or
+        # bottom handling is disabled — in which case downstream unsat
+        # computation is a no-op too, so the stat stays truthful)
+        "_has_bot": not unsat.isEmpty(),
     }
 
 

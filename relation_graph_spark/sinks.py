@@ -145,6 +145,8 @@ class EdgeSink(Protocol):
         batch_id: int,
         tombstones: DataFrame | None = None,
         extra_metrics: dict | None = None,
+        n_rows_hint: int | None = None,
+        n_tomb_hint: int | None = None,
     ) -> dict: ...
 
     def append_new_only(
@@ -154,6 +156,7 @@ class EdgeSink(Protocol):
         key: str = "edge_hash",
         tombstones: DataFrame | None = None,
         extra_metrics: dict | None = None,
+        n_rows_hint: int | None = None,
     ) -> dict: ...
 
     def dedup_new(self, df: DataFrame, key: str = "edge_hash") -> DataFrame: ...
@@ -447,10 +450,15 @@ class IdempotentParquetSink:
         batch_id: int,
         tombstones: DataFrame | None = None,
         extra_metrics: dict | None = None,
+        n_rows_hint: int | None = None,
+        n_tomb_hint: int | None = None,
     ) -> dict:
         """Exactly-once append (+ optional retraction): skip if committed;
         else overwrite data (and tombstone) dirs, then atomically publish the
-        manifest."""
+        manifest. Callers that already counted the (deduplicated) rows /
+        tombstones — the streaming engine computes both for its running
+        manifest totals — pass them as hints so the manifest does not pay a
+        re-read count job per frame per batch."""
         if self.is_committed(batch_id):
             mpath = os.path.join(self.manifest_dir, f"{batch_id}.json")
             if os.path.exists(mpath):
@@ -474,15 +482,22 @@ class IdempotentParquetSink:
             tdf = tombstones.select("edge_hash").dropDuplicates()
             tpath = os.path.join(self.tombstone_dir, f"batch={batch_id}")
             tdf.write.mode("overwrite").parquet(tpath)
-            n_tomb = self.spark.read.parquet(tpath).count()
+            n_tomb = (
+                n_tomb_hint
+                if n_tomb_hint is not None
+                else self.spark.read.parquet(tpath).count()
+            )
             if n_tomb == 0:
                 # keep reads cheap: no empty tombstone dirs
                 import shutil
 
                 shutil.rmtree(tpath, ignore_errors=True)
-        n_rows = (
-            self.spark.read.parquet(path).count() if self._has_parquet(path) else 0
-        )
+        if n_rows_hint is not None:
+            n_rows = n_rows_hint
+        else:
+            n_rows = (
+                self.spark.read.parquet(path).count() if self._has_parquet(path) else 0
+            )
         manifest = {
             "batch_id": batch_id,
             "n_rows": n_rows,
@@ -502,6 +517,7 @@ class IdempotentParquetSink:
         key: str = "edge_hash",
         tombstones: DataFrame | None = None,
         extra_metrics: dict | None = None,
+        n_rows_hint: int | None = None,
     ) -> dict:
         """MERGE-style append: drop rows whose `key` already exists in any
         committed batch (the left_anti pre-commit dedup of SURVEY.md S7).
@@ -511,9 +527,21 @@ class IdempotentParquetSink:
         a touched bucket) — the parquet scan reads delta-footprint bytes,
         not total committed history. Used when the incremental engine cannot
         produce a delta (equivalence feedback); the fast path appends
-        pre-computed deltas via `append` with no history join."""
+        pre-computed deltas via `append` with no history join.
+
+        `n_rows_hint` is only honored when there is no committed history
+        (the dedup is then an identity and the caller's pre-dedup count is
+        exact)."""
+        if self._read_bucketed() is not None:
+            n_rows_hint = None  # dedup may drop rows; hint no longer exact
         df = self.dedup_new(df, key=key)
-        return self.append(df, batch_id, tombstones=tombstones, extra_metrics=extra_metrics)
+        return self.append(
+            df,
+            batch_id,
+            tombstones=tombstones,
+            extra_metrics=extra_metrics,
+            n_rows_hint=n_rows_hint,
+        )
 
     def dedup_new(self, df: DataFrame, key: str = "edge_hash") -> DataFrame:
         """Drop rows whose `key` already exists in any committed batch, with
@@ -877,7 +905,11 @@ class InMemoryEdgeSink:
     def metrics(self) -> list[dict]:
         return [self._manifests[b] for b in self.committed_batches()]
 
-    def append(self, df, batch_id, tombstones=None, extra_metrics=None):
+    def append(
+        self, df, batch_id, tombstones=None, extra_metrics=None,
+        n_rows_hint=None, n_tomb_hint=None,
+    ):
+        # hints unused: this sink collects the rows anyway (test tier)
         if self.is_committed(batch_id):
             return self._manifests[batch_id]
         rows = df.collect()
@@ -898,7 +930,10 @@ class InMemoryEdgeSink:
         self._manifests[batch_id] = m
         return m
 
-    def append_new_only(self, df, batch_id, key="edge_hash", tombstones=None, extra_metrics=None):
+    def append_new_only(
+        self, df, batch_id, key="edge_hash", tombstones=None, extra_metrics=None,
+        n_rows_hint=None,
+    ):
         return self.append(
             self.dedup_new(df, key=key),
             batch_id,

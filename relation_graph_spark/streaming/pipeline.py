@@ -350,8 +350,14 @@ class IncrementalClosureJob:
             )
             # running closure total is computed from the delta frames BEFORE
             # commit so the manifest is written exactly once (no post-commit
-            # patch to lose in a crash)
-            total = prev_total + hashed.count() - tomb.count()
+            # patch to lose in a crash); the two counts are independent jobs
+            # and run concurrently (guide §2.6)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as _pool:
+                _fn, _ft = _pool.submit(hashed.count), _pool.submit(tomb.count)
+                n_new_rows, n_tomb_rows = _fn.result(), _ft.result()
+            total = prev_total + n_new_rows - n_tomb_rows
             _mark("delta_counts")
             self.sink.append(
                 hashed.select("s", "p", "o", "edge", "edge_hash"),
@@ -360,6 +366,10 @@ class IncrementalClosureJob:
                 extra_metrics=self._metrics(
                     prev_m, batch_per_source, n_late, hwm, total, None
                 ),
+                # counts already taken for the running total — the sink can
+                # skip its re-read count jobs
+                n_rows_hint=n_new_rows,
+                n_tomb_hint=n_tomb_rows,
             )
         else:
             # -------- bootstrap: full assembly + history anti-join ---------
@@ -376,13 +386,18 @@ class IncrementalClosureJob:
                 tomb = committed.select("edge_hash").join(
                     hashed.select("edge_hash"), on="edge_hash", how="left_anti"
                 )
+            # one count serves the manifest total AND (when there is no
+            # committed history to dedup against, i.e. a fresh first batch)
+            # the sink's written-row count — skipping its re-read count job
+            n_edges = hashed.count()
             self.sink.append_new_only(
                 hashed.select("s", "p", "o", "edge", "edge_hash"),
                 int(batch_id),
                 tombstones=tomb,
                 extra_metrics=self._metrics(
-                    prev_m, batch_per_source, n_late, hwm, None, edges
+                    prev_m, batch_per_source, n_late, hwm, n_edges, None
                 ),
+                n_rows_hint=n_edges if committed is None else None,
             )
 
         _mark("sink_append")
