@@ -54,6 +54,10 @@ def q_rg_exist_rel_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
 
+    # the derived told frames are each consumed by several downstream jobs
+    # (closure build, max-token scan, join stages): checkpoint once so the
+    # base-table scans + dedup shuffles do not re-run per consumer
+    # (r07 optimization, guide §5 — reused intermediates)
     sc = (
         customer.select(
             (F.col("c_custkey") + 1000000).cast("bigint").alias("sub"),
@@ -66,6 +70,7 @@ def q_rg_exist_rel_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .dropDuplicates()
+        .localCheckpoint(eager=False)
     )
     some = (
         orders.select(
@@ -74,6 +79,7 @@ def q_rg_exist_rel_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("o_custkey") % 25) + 1000).cast("bigint").alias("f"),
         )
         .dropDuplicates()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         sc.select(F.col("sub").alias("c"))

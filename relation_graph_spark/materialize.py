@@ -279,19 +279,47 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
 
     some = told["some"].dropDuplicates().localCheckpoint(eager=False)
     def_some = told["def_some"].dropDuplicates().localCheckpoint(eager=False)
-    n_def = def_some.count()
+    sc = told["sc"].dropDuplicates().localCheckpoint(eager=False)
+
+    # ONE combined stats job: told-existential / definition counts (cost-based
+    # decisions below) + the global max token (packability for EVERY
+    # derive_relations call — all closure-side tokens are classes, props or
+    # the reserved TOP/BOT, so max(classes, props) bounds them; computing it
+    # here once replaces a per-derivation-pass max scan)
+    stats = (
+        some.agg(F.count(F.lit(1)).alias("n"), F.lit(None).cast("bigint").alias("m"))
+        .select(F.lit("some").alias("f"), "n", "m")
+        .unionByName(
+            def_some.agg(
+                F.count(F.lit(1)).alias("n"), F.lit(None).cast("bigint").alias("m")
+            ).select(F.lit("def").alias("f"), "n", "m")
+        )
+        .unionByName(
+            classes.agg(
+                F.count(F.lit(1)).alias("n"), F.max("c").cast("bigint").alias("m")
+            ).select(F.lit("classes").alias("f"), "n", "m")
+        )
+        .unionByName(
+            props.agg(
+                F.count(F.lit(1)).alias("n"), F.max("p").cast("bigint").alias("m")
+            ).select(F.lit("props").alias("f"), "n", "m")
+        )
+        .collect()
+    )
+    st = {r["f"]: r for r in stats}
+    n_some, n_def = st["some"]["n"], st["def"]["n"]
     has_feedback = n_def > 0
+    max_token = max(
+        [m for m in (st["classes"]["m"], st["props"]["m"], T.TOP, T.BOT) if m is not None],
+        default=None,
+    )
 
     thr = cfg.broadcast_row_threshold
-    # one count serves both cost-based decisions below: staged-vs-fused R3
-    # (intermediate dedups only pay off when the told set is large) and the
-    # incremental-vs-full R4 rounds
-    n_some = some.count()
     staged = n_some > cfg.incremental_feedback_threshold
-    sc = told["sc"].dropDuplicates().localCheckpoint(eager=False)
+    dr_kw = {"staged": staged, "max_token": max_token}
     # round 0: full class closure + full R3
     sc_tc, sc_star = _sc_star(sc, classes, cfg)
-    rel = derive_relations(sc_star, some, sp_star, thr, staged=staged).localCheckpoint(
+    rel = derive_relations(sc_star, some, sp_star, thr, **dr_kw).localCheckpoint(
         eager=False
     )
 
@@ -332,7 +360,7 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
             if not incremental_rounds:
                 sc_tc, sc_star = _sc_star(sc, classes, cfg)
                 rel = derive_relations(
-                    sc_star, some, sp_star, thr, staged=staged
+                    sc_star, some, sp_star, thr, **dr_kw
                 ).localCheckpoint(eager=False)
                 continue
             sc_tc, d_tc = incremental_tc(
@@ -349,10 +377,10 @@ def materialize_edges(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, Da
                 continue  # told edge was already entailed; rel unchanged
             sc_star = sc_star.unionByName(d_star).localCheckpoint(eager=False)
             rel_d = derive_relations(
-                sc_star, some, sp_star, thr, subject_star=d_star, staged=staged
+                sc_star, some, sp_star, thr, subject_star=d_star, **dr_kw
             ).unionByName(
                 derive_relations(
-                    sc_star, some, sp_star, thr, filler_star=d_star, staged=staged
+                    sc_star, some, sp_star, thr, filler_star=d_star, **dr_kw
                 )
             )
             rel = rel.unionByName(rel_d.dropDuplicates()).localCheckpoint(eager=False)
@@ -404,10 +432,12 @@ def compute_unsat(sc_star: DataFrame, some: DataFrame, cfg: RGConfig) -> DataFra
     own fillers sit elsewhere); unsat is class-domain-sized, so every
     iteration is one broadcast semi-join pass over the told existentials —
     no fact-table shuffle."""
+    empty = sc_star.where(F.lit(False)).select(F.col("sub").alias("c"))
     if cfg.disable_owl_nothing:
-        return (
-            sc_star.where(F.lit(False)).select(F.col("sub").alias("c")).localCheckpoint(eager=False)
-        )
+        # STATICALLY empty (a where(false), not a checkpointed frame):
+        # PropagateEmptyRelation then folds every downstream unsat anti-join
+        # out of the plan instead of probing an empty broadcast per row
+        return empty
     unsat = (
         sc_star.where(F.col("sup") == T.BOT)
         .select(F.col("sub").alias("c"))
@@ -416,8 +446,8 @@ def compute_unsat(sc_star: DataFrame, some: DataFrame, cfg: RGConfig) -> DataFra
     )
     if unsat.isEmpty():
         # common case: nothing under owl:Nothing — skip the bottom-rule loop
-        # entirely (no scan of the told existentials)
-        return unsat
+        # entirely AND hand back the statically-empty frame (see above)
+        return empty
     for _ in range(cfg.max_iterations):
         bad_subjects = (
             some.join(F.broadcast(unsat), some["f"] == unsat["c"], "left_semi")

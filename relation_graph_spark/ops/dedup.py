@@ -17,10 +17,23 @@ aggregation applies).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from relation_graph_spark.ops.text import WORD_RE
+
+# Driver fast path for connected components (round-7 optimization): when the
+# candidate-PAIR set is small enough — and the LSH tiers are explicitly
+# designed to keep it small (hot-bucket caps bound pairs regardless of corpus
+# size) — a single union-find pass on the driver replaces O(diameter) rounds
+# of min-label propagation, each of which costs a shuffle + an isEmpty probe
+# + two checkpoints. Only the PAIRS are collected; the documents frame stays
+# distributed (labels re-attach via one broadcast join), so the path is
+# corpus-size-independent. Above the threshold the distributed loop runs
+# unchanged.
+_DRIVER_CC_PAIRS = int(os.environ.get("RGS_DRIVER_CC_PAIRS", "200000"))
 
 
 def _tokens(col):
@@ -138,6 +151,76 @@ def lsh_candidate_pairs(
     )
 
 
+def _driver_cc_labels(
+    docs: DataFrame, pairs_dd: DataFrame, doc_col: str
+) -> DataFrame | None:
+    """Union-find over a (bounded, collected) pair set; labels re-attach to
+    the distributed docs frame via one broadcast join. Exactly mirrors the
+    min-label loop's semantics: propagation only runs through nodes that
+    exist in `docs` (edges touching unknown ids are inert there, so they are
+    dropped here), cluster_id = min doc id of the component, singletons keep
+    their own id."""
+    import pandas as pd
+
+    pdf = pairs_dd.toPandas()
+    xs, ys = pdf["x"].tolist(), pdf["y"].tolist()
+    nodes = {v for v in xs if v is not None} | {v for v in ys if v is not None}
+    spark = docs.sparkSession
+    doc_type = dict(docs.dtypes)[doc_col]
+    base = docs.select(F.col(doc_col).alias("node")).dropDuplicates()
+    if not nodes:
+        return base.select(
+            F.col("node").alias(doc_col), F.col("node").alias("cluster_id")
+        )
+    nodes_df = spark.createDataFrame(
+        pd.DataFrame({"node": sorted(nodes)}), schema=f"node {doc_type}"
+    )
+    members = {
+        r[0]
+        for r in base.join(F.broadcast(nodes_df), on="node", how="left_semi")
+        .collect()
+    }
+    parent: dict = {}
+
+    def find(u):
+        r = u
+        while parent[r] != r:
+            r = parent[r]
+        while parent[u] != r:
+            parent[u], u = r, parent[u]
+        return r
+
+    for u, v in zip(xs, ys):
+        if u in members and v in members:
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    comp_min: dict = {}
+    for u in parent:
+        r = find(u)
+        if r not in comp_min or u < comp_min[r]:
+            comp_min[r] = u
+    labels = [(u, comp_min[find(u)]) for u in parent]
+    labels = [(u, l) for u, l in labels if l != u]
+    if not labels:
+        return base.select(
+            F.col("node").alias(doc_col), F.col("node").alias("cluster_id")
+        )
+    label_df = spark.createDataFrame(
+        pd.DataFrame(labels, columns=["node", "label"]),
+        schema=f"node {doc_type}, label {doc_type}",
+    )
+    return (
+        base.join(F.broadcast(label_df), on="node", how="left")
+        .select(
+            F.col("node").alias(doc_col),
+            F.coalesce("label", "node").alias("cluster_id"),
+        )
+    )
+
+
 def duplicate_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -159,9 +242,17 @@ def duplicate_clusters(
     contraction — the operator contract (docs, pairs) -> (doc_id,
     cluster_id) stays identical.
     """
+    pairs_dd = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).dropDuplicates()
+    pairs_dd = pairs_dd.localCheckpoint(eager=False)
+    n_pairs = pairs_dd.count()
+    if n_pairs <= _DRIVER_CC_PAIRS:
+        out = _driver_cc_labels(docs, pairs_dd, doc_col)
+        if out is not None:
+            return out
     edges = (
-        pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
-        .unionByName(pairs.select(F.col(b).alias("x"), F.col(a).alias("y")))
+        pairs_dd.unionByName(
+            pairs_dd.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
         .dropDuplicates()
         .localCheckpoint(eager=False)
     )

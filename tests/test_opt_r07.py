@@ -95,6 +95,29 @@ def test_derive_relations_fused_equals_staged(spark):
     assert sa == sb and len(sa) > 0
 
 
+def test_driver_cc_equals_distributed(spark, monkeypatch):
+    """Union-find fast path vs min-label loop: chain components (multi-round
+    propagation), singletons, and an edge through a node NOT in docs (inert
+    in the distributed loop — must be inert on the driver too)."""
+    import relation_graph_spark.ops.dedup as D
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6, 7, 10, 11]], "doc_id: bigint"
+    )
+    pairs = spark.createDataFrame(
+        # chain 4-3-2-1, pair 5-6, edge 10-99-11 through unknown node 99
+        [(3, 4), (2, 3), (1, 2), (5, 6), (10, 99), (99, 11)],
+        "doc_a: bigint, doc_b: bigint",
+    )
+    got = {tuple(r) for r in D.duplicate_clusters(docs, pairs).collect()}
+    monkeypatch.setattr(D, "_DRIVER_CC_PAIRS", -1)  # force distributed
+    want = {tuple(r) for r in D.duplicate_clusters(docs, pairs).collect()}
+    assert got == want
+    assert (4, 1) in got and (6, 5) in got and (7, 7) in got
+    # 99 blocks propagation in both paths: 10 and 11 stay singletons
+    assert (10, 10) in got and (11, 11) in got
+
+
 def test_told_tables_single_pass_vocabularies(spark):
     from relation_graph_spark import fixtures as FX
     from relation_graph_spark import tokens as T
