@@ -364,6 +364,16 @@ def reflexive_transitive_closure(
     parent: str = "parent",
     **kwargs,
 ) -> DataFrame:
-    """tc(edges) union {(x,x) : x in nodes}."""
+    """tc(edges) union {(x,x) : x in nodes}.
+
+    The two components only overlap on CYCLE nodes (tc contains (x,x) iff x
+    lies on a cycle — vocabulary-rare), so instead of an O(closure)
+    dropDuplicates shuffle the reflexive side is broadcast-anti-joined
+    against tc's self-pairs and unioned disjoint (same set, one less
+    closure-sized exchange)."""
     tc = transitive_closure(edges, child=child, parent=parent, **kwargs)
-    return tc.unionByName(reflexive(nodes, node_col, child, parent)).dropDuplicates()
+    refl = reflexive(nodes, node_col, child, parent)
+    self_pairs = tc.where(F.col(child) == F.col(parent))
+    return tc.unionByName(
+        refl.join(F.broadcast(self_pairs), on=[child, parent], how="left_anti")
+    )

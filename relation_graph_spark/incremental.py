@@ -172,9 +172,19 @@ def _prune_evidence(rel_paths: list[str], touched: list[int]) -> dict:
 
 
 def _sc_star_of(sc_tc: DataFrame, classes: DataFrame) -> DataFrame:
+    # disjoint-union construction (no O(closure) dedup) — see
+    # materialize._sc_star for the overlap argument
     refl = reflexive(classes, "c", "sub", "sup")
-    top = classes.select(F.col("c").alias("sub"), F.lit(T.TOP).cast("int").alias("sup"))
-    return sc_tc.unionByName(refl).unionByName(top).dropDuplicates()
+    top = classes.where(F.col("c") != T.TOP).select(
+        F.col("c").alias("sub"), F.lit(T.TOP).cast("int").alias("sup")
+    )
+    self_pairs = sc_tc.where(F.col("sub") == F.col("sup"))
+    top_pairs = sc_tc.where((F.col("sup") == T.TOP) & (F.col("sub") != T.TOP))
+    return sc_tc.unionByName(
+        refl.join(F.broadcast(self_pairs), on=["sub", "sup"], how="left_anti")
+    ).unionByName(
+        top.join(F.broadcast(top_pairs), on=["sub", "sup"], how="left_anti")
+    )
 
 
 def initial_state(told: dict[str, DataFrame], cfg: RGConfig) -> dict[str, DataFrame]:

@@ -89,7 +89,14 @@ def _distinct3(df: DataFrame, c1: str, c2: str, c3: str, packable: bool) -> Data
 
 
 def _sc_star(sc: DataFrame, classes: DataFrame, cfg: RGConfig):
-    """(transitive closure, reflexive-transitive closure + implicit (c, TOP))."""
+    """(transitive closure, reflexive-transitive closure + implicit (c, TOP)).
+
+    The star union is built DISJOINT instead of deduplicated: tc overlaps
+    the reflexive rows only on cycle self-pairs and the top rows only on
+    told (x, TOP) pairs — both vocabulary-rare, broadcast-anti-joined away —
+    and refl/top overlap each other only at (TOP, TOP), excluded from the
+    top side. Saves the O(closure) dropDuplicates exchange per call (this
+    runs once per R4 round on the full-recompute path)."""
     tc = transitive_closure(
         sc,
         child="sub",
@@ -98,11 +105,19 @@ def _sc_star(sc: DataFrame, classes: DataFrame, cfg: RGConfig):
         broadcast_row_threshold=cfg.broadcast_row_threshold,
     )
     refl = reflexive(classes, "c", "sub", "sup")
-    top = classes.select(
+    top = classes.where(F.col("c") != T.TOP).select(
         F.col("c").alias("sub"), F.lit(T.TOP).cast("int").alias("sup")
     )
+    self_pairs = tc.where(F.col("sub") == F.col("sup"))
+    top_pairs = tc.where((F.col("sup") == T.TOP) & (F.col("sub") != T.TOP))
     star = (
-        tc.unionByName(refl).unionByName(top).dropDuplicates().localCheckpoint(eager=False)
+        tc.unionByName(
+            refl.join(F.broadcast(self_pairs), on=["sub", "sup"], how="left_anti")
+        )
+        .unionByName(
+            top.join(F.broadcast(top_pairs), on=["sub", "sup"], how="left_anti")
+        )
+        .localCheckpoint(eager=False)
     )
     return tc, star
 
